@@ -1,0 +1,329 @@
+"""Planar rigid-body dynamics in JAX.
+
+TPU-native replacement for the MuJoCo C engine in the reference's env layer
+(SURVEY.md §2C): the whole simulator is a pure jittable function of
+`(q, qd, ctrl)`, so thousands of env instances `vmap` in lockstep on-device.
+
+Design: Lagrangian dynamics by construction via autodiff instead of
+hand-written Featherstone recursions —
+
+- `fk` implements the kinematic tree exactly as mj_kinematics does for
+  planar slide/hinge chains (joint transforms applied sequentially within a
+  body, about their anchors).
+- The mass matrix is the exact Hessian of kinetic energy wrt velocity
+  (kinetic energy is quadratic in `qd`, so `jax.jacfwd ∘ jax.grad` is exact).
+- Coriolis/centrifugal + gravity bias comes from the Euler-Lagrange
+  identity  bias = d/dt(∂T/∂q̇) − ∂T/∂q + ∂V/∂q  evaluated with jvp/grad.
+- Contact and joint-limit forces are soft (penalty) constraints; contact
+  Jacobian-transpose application is a single `vjp` through forward
+  kinematics of the contact material points.
+
+Correctness of the smooth terms is verified against MuJoCo's `mj_fullM` and
+`qfrc_bias` in tests/test_physics_parity.py. Contacts intentionally use a
+spring-damper model (Brax-style) rather than MuJoCo's solref/solimp
+constraint solver; behavioral parity (task reward scale, gait feasibility)
+is the target there, not state-trajectory parity.
+
+The per-env state is (q, qd) ∈ R^nv × R^nv; nv ≤ 9 for the target domains,
+so all matrices are tiny and the vmapped batch runs on the VPU while the
+policy/value matmuls occupy the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surreal_tpu.envs.physics.model import HINGE, SLIDE, PlanarModel
+
+
+def _rot(theta, v):
+    """Rotate planar (x, z) vector(s) by angle about +y (matches MuJoCo's
+    xmat convention: x' = c·x + s·z, z' = −s·x + c·z)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([c * v[..., 0] + s * v[..., 1], -s * v[..., 0] + c * v[..., 1]], -1)
+
+
+def fk(m: PlanarModel, q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Forward kinematics: q -> (body frame origins (nb,2), angles (nb,)).
+
+    Bodies are topologically ordered (MuJoCo guarantee), loop is unrolled at
+    trace time (nb ≤ 8 for the target domains).
+    """
+    dtype = q.dtype
+    pos: list = [None] * m.nb
+    ang: list = [None] * m.nb
+    body_dofs = m.body_dofs
+    for b in range(m.nb):
+        par = m.parent[b]
+        if par < 0:
+            p = jnp.asarray(m.body_pos[b], dtype)
+            a = jnp.zeros((), dtype)
+        else:
+            p = pos[par] + _rot(ang[par], jnp.asarray(m.body_pos[b], dtype))
+            a = ang[par]
+        for j in body_dofs[b]:
+            if m.dof_type[j] == SLIDE:
+                p = p + _rot(a, jnp.asarray(m.dof_axis[j], dtype)) * q[j]
+            else:  # HINGE about anchor
+                anchor = jnp.asarray(m.dof_anchor[j], dtype)
+                w = p + _rot(a, anchor)
+                a = a + jnp.asarray(m.dof_axis[j][0], dtype) * q[j]
+                p = w - _rot(a, anchor)
+        pos[b] = p
+        ang[b] = a
+    return jnp.stack(pos), jnp.stack(ang)
+
+
+def com_positions(m: PlanarModel, q: jax.Array) -> jax.Array:
+    pos, ang = fk(m, q)
+    return pos + _rot(ang, jnp.asarray(m.com, q.dtype))
+
+
+def _coms_and_angles(m, q):
+    pos, ang = fk(m, q)
+    return pos + _rot(ang, jnp.asarray(m.com, q.dtype)), ang
+
+
+def body_velocities(m: PlanarModel, q, qd):
+    """(v_com (nb,2), omega (nb,)) via one jvp through FK."""
+    _, tangents = jax.jvp(lambda qq: _coms_and_angles(m, qq), (q,), (qd,))
+    return tangents
+
+
+def kinetic_energy(m: PlanarModel, q, qd):
+    v, w = body_velocities(m, q, qd)
+    mass = jnp.asarray(m.mass, q.dtype)
+    inertia = jnp.asarray(m.inertia, q.dtype)
+    arm = jnp.asarray(m.armature, q.dtype)
+    return (
+        0.5 * jnp.sum(mass * jnp.sum(v * v, -1))
+        + 0.5 * jnp.sum(inertia * w * w)
+        + 0.5 * jnp.sum(arm * qd * qd)
+    )
+
+
+def potential_energy(m: PlanarModel, q):
+    coms = com_positions(m, q)
+    return m.gravity * jnp.sum(jnp.asarray(m.mass, q.dtype) * coms[:, 1])
+
+
+def mass_matrix(m: PlanarModel, q) -> jax.Array:
+    """Exact joint-space inertia matrix M(q) (nv, nv): Hessian of T in qd."""
+    zero = jnp.zeros_like(q)
+    return jax.jacfwd(jax.grad(lambda qdd: kinetic_energy(m, q, qdd)))(zero)
+
+
+def bias_forces(m: PlanarModel, q, qd) -> jax.Array:
+    """Coriolis + centrifugal + gravity `c(q, qd)` such that
+    M qacc + c = τ. Matches MuJoCo's qfrc_bias (sign: bias opposes motion)."""
+    g1 = lambda qq: jax.grad(lambda qdd: kinetic_energy(m, qq, qdd))(qd)
+    _, dg1_dt = jax.jvp(g1, (q,), (qd,))
+    dT_dq = jax.grad(lambda qq: kinetic_energy(m, qq, qd))(q)
+    dV_dq = jax.grad(lambda qq: potential_energy(m, qq))(q)
+    return dg1_dt - dT_dq + dV_dq
+
+
+# ---------------------------------------------------------------------------
+# Unilateral constraints: ground contacts + joint limits.
+#
+# Solved at the VELOCITY level with projected Gauss-Seidel (PGS) impulses —
+# the same family of solver MuJoCo uses — rather than penalty springs.
+# Inelastic contacts (restitution 0, MuJoCo default) with Coulomb friction
+# boxed at μ·λ_n, plus Baumgarte push-out velocities for position drift.
+# Unconditionally stable: impulses are exchanged through M⁻¹, so coupled
+# constraint stacks (a crumpling walker hitting limits and ground at once)
+# cannot inject energy the way explicit penalties do.
+# ---------------------------------------------------------------------------
+
+
+def _contact_points_world(m: PlanarModel, q, u_local):
+    """World positions of contact material points given their body-local
+    coordinates `u_local` (ncon, 2)."""
+    pos, ang = fk(m, q)
+    cb = np.asarray(m.con_body)
+    return pos[cb] + _rot(ang[cb], u_local)
+
+
+def _contact_kinematics(m: PlanarModel, q):
+    """(J (ncon,2,nv), depth (ncon,)) at configuration q. J maps qd to the
+    world (x, z) velocity of each contact material point (the lowest point
+    of each candidate sphere)."""
+    dtype = q.dtype
+    cb = np.asarray(m.con_body)
+    radius = jnp.asarray(m.con_radius, dtype)
+    pos, ang = fk(m, q)
+    centers = pos[cb] + _rot(ang[cb], jnp.asarray(m.con_pos, dtype))
+    depth = radius - centers[:, 1]
+    # Material point = sphere center + world (0, -r), pulled back to
+    # body-local coordinates at the CURRENT configuration so the Jacobian
+    # includes the rotational contribution at the contact point.
+    down = jnp.stack([jnp.zeros_like(radius), -radius], -1)
+    u_pt = jnp.asarray(m.con_pos, dtype) + _rot(-ang[cb], down)
+    J = jax.jacfwd(lambda qq: _contact_points_world(m, qq, u_pt))(q)
+    return J, depth
+
+
+def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
+    """Project candidate velocity `v` onto the feasible set of contact and
+    joint-limit constraints via PGS impulses. Returns the corrected velocity."""
+    dtype = q.dtype
+    has_limits = bool(np.any(m.limited))
+    if m.ncon == 0 and not has_limits:
+        return v
+
+    # --- precompute constraint rows, effective masses, targets ---
+    if m.ncon:
+        J, depth = _contact_kinematics(m, q)
+        active = depth > 0
+        mu = jnp.asarray(m.con_friction, dtype)
+        Jn, Jt = J[:, 1, :], J[:, 0, :]
+        MJn = Jn @ M_inv  # (ncon, nv)
+        MJt = Jt @ M_inv
+        wn = jnp.maximum(jnp.einsum("cv,cv->c", Jn, MJn), 1e-9)
+        wt = jnp.maximum(jnp.einsum("cv,cv->c", Jt, MJt), 1e-9)
+        # Baumgarte push-out: resolve penetration over contact_timeconst.
+        v_push = jnp.where(active, depth, 0.0) / m.contact_timeconst
+    if has_limits:
+        lo = jnp.asarray(m.joint_range[:, 0], dtype)
+        hi = jnp.asarray(m.joint_range[:, 1], dtype)
+        viol_lo = jnp.maximum(lo - q, 0.0)
+        viol_hi = jnp.maximum(q - hi, 0.0)
+        lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
+        lim_push = (viol_lo + viol_hi) / m.limit_timeconst
+        w_dof = jnp.maximum(jnp.diagonal(M_inv), 1e-9)
+        lim_dofs = [j for j in range(m.nv) if m.limited[j]]
+
+    def iteration(_, carry):
+        v, lam_n, lam_t, lam_l = carry
+        if m.ncon:
+            for c in range(m.ncon):
+                # normal: v_n >= v_push, lam_n >= 0
+                vn = Jn[c] @ v
+                new = jnp.maximum(lam_n[c] + (v_push[c] - vn) / wn[c], 0.0)
+                new = jnp.where(active[c], new, 0.0)
+                v = v + MJn[c] * (new - lam_n[c])
+                lam_n = lam_n.at[c].set(new)
+                # friction: drive v_t -> 0, |lam_t| <= mu * lam_n
+                vt = Jt[c] @ v
+                bound = mu[c] * lam_n[c]
+                new_t = jnp.clip(lam_t[c] - vt / wt[c], -bound, bound)
+                v = v + MJt[c] * (new_t - lam_t[c])
+                lam_t = lam_t.at[c].set(new_t)
+        if has_limits:
+            for j in lim_dofs:
+                s = lim_sign[j]
+                vj = s * v[j]
+                new = jnp.maximum(lam_l[j] + (lim_push[j] - vj) / w_dof[j], 0.0)
+                new = jnp.where(s != 0, new, 0.0)
+                v = v + M_inv[:, j] * (s * (new - lam_l[j]))
+                lam_l = lam_l.at[j].set(new)
+        return v, lam_n, lam_t, lam_l
+
+    lam_n0 = jnp.zeros(m.ncon, dtype)
+    lam_t0 = jnp.zeros(m.ncon, dtype)
+    lam_l0 = jnp.zeros(m.nv, dtype)
+    v, *_ = jax.lax.fori_loop(0, n_iter, iteration, (v, lam_n0, lam_t0, lam_l0))
+    return v
+
+
+def passive_spring_forces(m: PlanarModel, q) -> jax.Array:
+    return -jnp.asarray(m.stiffness, q.dtype) * (q - jnp.asarray(m.springref, q.dtype))
+
+
+def actuation(m: PlanarModel, ctrl) -> jax.Array:
+    """Generalized forces from motor actuators (ctrl clipped to [-1, 1])."""
+    ctrl = jnp.clip(ctrl, -1.0, 1.0)
+    tau = jnp.zeros(m.nv, ctrl.dtype)
+    return tau.at[np.asarray(m.act_dof)].add(jnp.asarray(m.gear, ctrl.dtype) * ctrl)
+
+
+# ---------------------------------------------------------------------------
+# Forward dynamics + integrators
+# ---------------------------------------------------------------------------
+
+
+def smooth_forces(m: PlanarModel, q, qd, ctrl):
+    """Actuation + joint springs − bias. Joint damping and unilateral
+    constraints are handled by the integrators."""
+    return actuation(m, ctrl) + passive_spring_forces(m, q) - bias_forces(m, q, qd)
+
+
+def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
+    """qacc from smooth dynamics with explicit joint damping (RK4 stages,
+    matching MuJoCo RK4 which evaluates smooth forces per stage)."""
+    M = mass_matrix(m, q)
+    f = smooth_forces(m, q, qd, ctrl) - jnp.asarray(m.damping, q.dtype) * qd
+    return jnp.linalg.solve(M, f)
+
+
+def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None):
+    """Semi-implicit Euler with implicitly-integrated joint damping —
+    (M + hD) v̇ = f − D v — then PGS constraint projection of the candidate
+    velocity, then q += h v (MuJoCo 'Euler' + constraint-solver semantics)."""
+    h = m.dt if h is None else h
+    dtype = q.dtype
+    D = jnp.asarray(m.damping, dtype)
+    M = mass_matrix(m, q)
+    M_inv = jnp.linalg.inv(M)
+    f = smooth_forces(m, q, qd, ctrl) - D * qd
+    qacc = jnp.linalg.solve(M + h * jnp.diag(D), f)
+    v_star = qd + h * qacc
+    qd_new = constraint_project(m, q, v_star, M_inv, h)
+    q_new = q + h * qd_new
+    return q_new, qd_new
+
+
+def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
+    """Classic RK4 on the smooth dynamics (MuJoCo's RK4 integrator —
+    cartpole domain), followed by constraint projection (no-op while joint
+    limits are inactive, which is the oracle-parity regime)."""
+    h = m.dt if h is None else h
+
+    def deriv(state):
+        qq, vv = state
+        return vv, forward_explicit(m, qq, vv, ctrl)
+
+    k1 = deriv((q, qd))
+    k2 = deriv((q + 0.5 * h * k1[0], qd + 0.5 * h * k1[1]))
+    k3 = deriv((q + 0.5 * h * k2[0], qd + 0.5 * h * k2[1]))
+    k4 = deriv((q + h * k3[0], qd + h * k3[1]))
+    q_new = q + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+    qd_new = qd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+    if m.ncon or bool(np.any(m.limited)):
+        M_inv = jnp.linalg.inv(mass_matrix(m, q_new))
+        qd_new = constraint_project(m, q_new, qd_new, M_inv, h)
+    return q_new, qd_new
+
+
+def make_stepper(m: PlanarModel, n_substeps: int = 1) -> Callable:
+    """Returns `step(q, qd, ctrl) -> (q, qd)` advancing n_substeps physics
+    steps of size m.dt (ctrl held constant — MuJoCo control-timestep
+    semantics)."""
+    one = step_rk4 if m.integrator == "rk4" else step_euler
+
+    def step(q, qd, ctrl):
+        if n_substeps == 1:
+            return one(m, q, qd, ctrl)
+
+        def body(carry, _):
+            qq, vv = carry
+            qq, vv = one(m, qq, vv, ctrl)
+            return (qq, vv), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n_substeps)
+        return q, qd
+
+    return step
+
+
+def subtree_com_velocity(m: PlanarModel, q, qd) -> jax.Array:
+    """Whole-body COM velocity (vx, vz) — the `torso_subtreelinvel` sensor
+    used by cheetah-run / walker reward (torso subtree = entire robot)."""
+    v, _ = body_velocities(m, q, qd)
+    mass = jnp.asarray(m.mass, q.dtype)
+    return jnp.sum(mass[:, None] * v, 0) / m.total_mass

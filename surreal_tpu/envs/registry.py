@@ -1,0 +1,52 @@
+"""Environment registry + `make_env` dispatch.
+
+Role of the reference's `make_env(env_config)` with name-prefix dispatch
+("dm_control:cheetah-run" etc., SURVEY.md §2 env base row). Names accept
+both "domain-task" and the reference-style "dm_control:domain-task" prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from surreal_tpu.envs.base import Environment
+
+_REGISTRY: dict[str, Callable[..., Environment]] = {}
+
+
+def register(name: str, factory: Callable[..., Environment]) -> None:
+    _REGISTRY[name] = factory
+
+
+def _builtin():
+    from surreal_tpu.envs.cartpole import Cartpole
+    from surreal_tpu.envs.cheetah import CheetahRun
+    from surreal_tpu.envs.walker import Walker
+
+    register("cartpole-balance", lambda **kw: Cartpole(swing_up=False, sparse=False, **kw))
+    register(
+        "cartpole-balance_sparse", lambda **kw: Cartpole(swing_up=False, sparse=True, **kw)
+    )
+    register("cartpole-swingup", lambda **kw: Cartpole(swing_up=True, sparse=False, **kw))
+    register(
+        "cartpole-swingup_sparse", lambda **kw: Cartpole(swing_up=True, sparse=True, **kw)
+    )
+    register("cheetah-run", lambda **kw: CheetahRun(**kw))
+    register("walker-stand", lambda **kw: Walker(move_speed=0.0, **kw))
+    register("walker-walk", lambda **kw: Walker(move_speed=1.0, **kw))
+    register("walker-run", lambda **kw: Walker(move_speed=8.0, **kw))
+
+
+def make_env(name: str, **kwargs) -> Environment:
+    if not _REGISTRY:
+        _builtin()
+    key = name.split(":", 1)[-1]  # strip "dm_control:" style prefix
+    if key not in _REGISTRY:
+        raise KeyError(f"Unknown env {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[key](**kwargs)
+
+
+def available_envs() -> list[str]:
+    if not _REGISTRY:
+        _builtin()
+    return sorted(_REGISTRY)

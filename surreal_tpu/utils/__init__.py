@@ -1,0 +1,2 @@
+from surreal_tpu.utils.logger import get_logger
+from surreal_tpu.utils.trackers import PeriodicTracker, ThroughputTracker

@@ -1,0 +1,52 @@
+"""Bake PlanarModel assets from the installed dm_control suite XMLs.
+
+Run offline (requires mujoco + dm_control):
+    python tools/bake_assets.py
+
+Writes surreal_tpu/envs/assets/<domain>.npz. The training path loads these
+and never imports mujoco.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dm_control import suite  # noqa: E402
+
+from surreal_tpu.envs.physics import model as pmodel  # noqa: E402
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "surreal_tpu", "envs", "assets")
+
+
+def main():
+    for domain, task in [("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk")]:
+        env = suite.load(domain, task)
+        m = pmodel.from_mujoco(env.physics.model._model)
+        path = os.path.join(ASSETS, f"{domain}.npz")
+        pmodel.save(m, path)
+        print(
+            f"{domain}: nb={m.nb} nv={m.nv} nu={m.nu} ncon={m.ncon} "
+            f"dt={m.dt} integrator={m.integrator} -> {os.path.relpath(path)}"
+        )
+    bake_cheetah_pool()
+
+
+def bake_cheetah_pool(size: int = 4096):
+    """Settle a pool of cheetah episode-start states with OUR engine."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from surreal_tpu.envs.cheetah import CheetahRun
+
+    m = pmodel.load(os.path.join(ASSETS, "cheetah.npz"))
+    q, qd = CheetahRun.generate_pool(m, jax.random.PRNGKey(0), size=size)
+    path = os.path.join(ASSETS, "cheetah_pool.npz")
+    np.savez(path, q=np.asarray(q), qd=np.asarray(qd))
+    print(f"cheetah pool: {size} settled states -> {os.path.relpath(path)}")
+    print("  height range:", float(np.min(np.asarray(q)[:, 1])), float(np.max(np.asarray(q)[:, 1])))
+
+
+if __name__ == "__main__":
+    main()
