@@ -131,6 +131,28 @@ class Environment:
         return new_state, ts
 
 
+def flatten_obs(obs: Mapping[str, jax.Array]) -> jax.Array:
+    """Concatenate low-dim obs modalities into one feature vector (sorted
+    key order — the role of the reference's obs-concat wrapper). Works for
+    batched or unbatched obs; scalar entries are treated as 1-dim."""
+    parts = [v for k, v in sorted(obs.items()) if k != "pixel"]
+    max_rank = max(p.ndim for p in parts)
+    # scalar modalities (e.g. walker 'height') get a trailing feature axis
+    parts = [p[..., None] if p.ndim < max_rank else p for p in parts]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def obs_flat_dim(env: "Environment") -> int:
+    spec = env.obs_spec()
+    total = 0
+    for k in sorted(spec.keys()):
+        if k == "pixel":
+            continue
+        shape = spec[k].shape
+        total += shape[0] if shape else 1
+    return total
+
+
 def vectorize(env: Environment):
     """Returns (reset_fn, step_fn) vmapped over a batch of env instances.
 

@@ -1,0 +1,50 @@
+"""Deterministic / stochastic policy evaluation.
+
+Role of the reference's eval agent processes (SURVEY.md §3.5): run the
+policy in deterministic (or fixed-noise) mode over full episodes on a
+reserved env batch, report episode returns. One jitted scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surreal_tpu.envs import base as env_base
+from surreal_tpu.models.z_filter import zfilter_normalize
+
+
+def evaluate_policy(env, policy_fn, params, zfilter=None, episodes: int = 16, seed: int = 0):
+    """policy_fn(params, obs, key) -> action. Runs `episodes` parallel envs
+    for one full episode each; returns dict with mean/std/min/max return."""
+    reset_fn, step_fn = env_base.vectorize(env)
+    key = jax.random.PRNGKey(seed)
+    k_reset, k_run = jax.random.split(key)
+
+    def run():
+        env_state, ts = reset_fn(jax.random.split(k_reset, episodes))
+        obs = env_base.flatten_obs(ts.obs)
+
+        def step(carry, key_t):
+            env_state, obs, ep_ret = carry
+            o = zfilter_normalize(zfilter, obs) if zfilter is not None else obs
+            action = policy_fn(params, o, key_t)
+            env_state, ts = step_fn(env_state, action)
+            ep_ret = ep_ret + ts.reward
+            return (env_state, env_base.flatten_obs(ts.obs), ep_ret), None
+
+        keys = jax.random.split(k_run, env.episode_steps)
+        (_, _, ep_ret), _ = jax.lax.scan(
+            step, (env_state, obs, jnp.zeros(episodes)), keys
+        )
+        return ep_ret
+
+    returns = np.asarray(jax.jit(run)())
+    return {
+        "return_mean": float(returns.mean()),
+        "return_std": float(returns.std()),
+        "return_min": float(returns.min()),
+        "return_max": float(returns.max()),
+        "episodes": episodes,
+    }

@@ -1,0 +1,128 @@
+"""Single-program PPO trainer: lockstep envs + fused train step.
+
+Role of the reference's learner main loop + launcher-wired actor fleet
+(`surreal/learner/base.py`, `surreal/launch/`, SURVEY.md §3.1-3.4) in one
+object: build env batch + network, then iterate jitted train steps. The
+multi-host / sharded variant lives in surreal_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surreal_tpu.algos import ppo
+from surreal_tpu.envs import base as env_base
+from surreal_tpu.envs import make_env
+from surreal_tpu.models.actor_critic import PPOActorCritic
+from surreal_tpu.utils import get_logger
+
+
+class PPOTrainer:
+    def __init__(
+        self,
+        env_name: str,
+        cfg: ppo.PPOConfig | None = None,
+        num_envs: int = 256,
+        seed: int = 0,
+        hidden=(64, 64),
+        compute_dtype=jnp.float32,
+        env_kwargs: dict | None = None,
+    ):
+        self.cfg = cfg or ppo.PPOConfig()
+        self.env = make_env(env_name, **(env_kwargs or {}))
+        self.num_envs = num_envs
+        self.log = get_logger("ppo")
+
+        self.net = PPOActorCritic(
+            action_dim=self.env.action_dim, hidden=tuple(hidden), compute_dtype=compute_dtype
+        )
+        obs_dim = env_base.obs_flat_dim(self.env)
+        key = jax.random.PRNGKey(seed)
+        self.key, k_init, k_reset = jax.random.split(key, 3)
+        params = self.net.init(k_init, jnp.zeros((1, obs_dim)))
+        self.state = ppo.init_state(self.cfg, params, obs_dim)
+
+        reset_fn, step_fn = env_base.vectorize(self.env)
+        env_state, ts0 = jax.jit(reset_fn)(jax.random.split(k_reset, num_envs))
+        self.env_state = env_state
+        self.obs = env_base.flatten_obs(ts0.obs)
+        self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
+
+        self._train_step = jax.jit(
+            partial(
+                ppo.train_step,
+                self.cfg,
+                self.net.apply,
+                step_fn,
+                env_base.flatten_obs,
+            )
+        )
+        self._eval_fn = None
+
+    @property
+    def steps_per_iteration(self) -> int:
+        return self.cfg.horizon * self.num_envs
+
+    def run(self, iterations: int, log_every: int = 10, metric_sink: Callable | None = None):
+        """Returns list of host-side metric dicts (one per log interval)."""
+        logs = []
+        # Device-side accumulators (no host sync between log intervals).
+        ep_ret_acc = jnp.zeros(())
+        ep_cnt_acc = jnp.zeros(())
+        t0 = time.perf_counter()
+        for it in range(1, iterations + 1):
+            self.key, sub = jax.random.split(self.key)
+            self.state, self.env_state, self.obs, self.ep_ret, metrics = self._train_step(
+                self.state, self.env_state, self.obs, self.ep_ret, sub
+            )
+            ep_ret_acc = ep_ret_acc + metrics["episode_return_sum"]
+            ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
+            if it % log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m.pop("episode_return_sum")
+                m.pop("episodes_done")
+                cnt = float(ep_cnt_acc)
+                dt = time.perf_counter() - t0
+                m["iteration"] = it
+                m["env_steps"] = it * self.steps_per_iteration
+                m["env_steps_per_s"] = log_every * self.steps_per_iteration / dt
+                if cnt > 0:
+                    m["episode_return"] = float(ep_ret_acc) / cnt
+                    ep_ret_acc = jnp.zeros(())
+                    ep_cnt_acc = jnp.zeros(())
+                logs.append(m)
+                if metric_sink:
+                    metric_sink(m)
+                self.log.info(
+                    "it %d steps %.2e sps %.0f ret %s kl %.4f",
+                    it,
+                    m["env_steps"],
+                    m["env_steps_per_s"],
+                    f"{m.get('episode_return', float('nan')):.1f}",
+                    m["kl"],
+                )
+                t0 = time.perf_counter()
+        return logs
+
+    # ---- evaluation (reference's eval workers, SURVEY.md §3.5) ----
+    def evaluate(self, episodes: int = 16, stochastic: bool = False, seed: int = 0):
+        from surreal_tpu.train.evaluator import evaluate_policy
+
+        def policy(params, obs, key):
+            mean, log_std, _ = self.net.apply(params, obs)
+            if stochastic:
+                from surreal_tpu.models.distributions import DiagGauss
+
+                return DiagGauss.sample(key, mean, log_std)
+            return mean
+
+        zf = self.state.zfilter if self.cfg.use_zfilter else None
+        return evaluate_policy(
+            self.env, policy, self.state.params, zf, episodes=episodes, seed=seed
+        )
