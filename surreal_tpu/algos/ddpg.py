@@ -1,5 +1,310 @@
-"""DDPG: uniform HBM replay + target networks (SURVEY.md §2 DDPG rows).
+"""DDPG: off-policy TD learning with uniform HBM replay + target networks.
 
-Implemented in surreal_tpu.algos.ddpg — see DDPGConfig/train_step below.
-(Filled in after the PPO end-to-end slice; placeholder keeps imports valid.)
+Role of the reference's `surreal/learner/ddpg.py` + `surreal/agent/ddpg_agent.py`
+[SURVEY.md §2]: deterministic tanh actor with exploration noise
+(Ornstein-Uhlenbeck or Gaussian, with a PER-ACTOR noise-scale ladder so
+different actors explore at different intensities), critic TD loss with
+target actor+critic, n-step returns, soft (τ) and/or hard periodic target
+sync, uniform ring replay.
+
+TPU-first redesign: the "actor fleet" is the lockstep env batch (the noise
+ladder becomes a per-env σ vector), replay is the HBM ring buffer
+(surreal_tpu.data.replay), and rollout + U update steps fuse into one
+jitted train iteration.
 """
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surreal_tpu.data.replay import (
+    ReplayState,
+    replay_init,
+    replay_insert,
+    replay_sample_nstep,
+    replay_sampleable,
+)
+from surreal_tpu.models.z_filter import ZFilterState, zfilter_init, zfilter_normalize, zfilter_update
+from surreal_tpu.ops.returns import nstep_returns
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig:
+    rollout_steps: int = 16  # env steps per train iteration
+    updates_per_iteration: int = 16
+    batch_size: int = 256
+    replay_capacity: int = 1_000_000  # total transitions (across envs)
+    min_replay: int = 10_000  # warmup transitions before updates
+    gamma: float = 0.99
+    n_step: int = 3
+    actor_lr: float = 1e-4
+    critic_lr: float = 1e-3
+    tau: float = 5e-3  # soft target update rate
+    hard_sync_every: int = 0  # if > 0, hard-copy targets every N updates instead
+    max_grad_norm: float = 10.0
+    use_zfilter: bool = False
+    # exploration: OU noise with per-env scale ladder (reference: per-agent
+    # noise scale ladder, SURVEY.md §2 DDPG agent row)
+    noise_type: str = "ou"  # 'ou' | 'gaussian'
+    ou_theta: float = 0.15
+    ou_dt: float = 1.0  # noise step in units of control steps
+    sigma_min: float = 0.05
+    sigma_max: float = 0.4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DDPGTrainState:
+    actor_params: Any
+    critic_params: Any
+    target_actor_params: Any
+    target_critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    zfilter: ZFilterState
+    update_step: jax.Array
+
+
+def make_optimizers(cfg: DDPGConfig):
+    actor_opt = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.actor_lr)
+    )
+    critic_opt = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.critic_lr)
+    )
+    return actor_opt, critic_opt
+
+
+def init_state(cfg: DDPGConfig, actor_params, critic_params, obs_dim: int) -> DDPGTrainState:
+    a_opt, c_opt = make_optimizers(cfg)
+    return DDPGTrainState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        target_actor_params=jax.tree.map(jnp.copy, actor_params),
+        target_critic_params=jax.tree.map(jnp.copy, critic_params),
+        actor_opt=a_opt.init(actor_params),
+        critic_opt=c_opt.init(critic_params),
+        zfilter=zfilter_init(obs_dim),
+        update_step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def noise_ladder(cfg: DDPGConfig, num_envs: int) -> np.ndarray:
+    """Per-env exploration scale, geometric ladder from sigma_min..sigma_max."""
+    return np.geomspace(cfg.sigma_min, cfg.sigma_max, num_envs).astype(np.float32)
+
+
+def init_replay(cfg: DDPGConfig, num_envs: int, obs_dim: int, action_dim: int) -> ReplayState:
+    capacity_t = max(cfg.replay_capacity // num_envs, cfg.rollout_steps)
+    example = {
+        "obs": jnp.zeros((num_envs, obs_dim)),
+        "action": jnp.zeros((num_envs, action_dim)),
+        "reward": jnp.zeros((num_envs,)),
+        "done": jnp.zeros((num_envs,), jnp.bool_),
+    }
+    return replay_init(example, capacity_t)
+
+
+# ---------------------------------------------------------------------------
+# Rollout (exploration actors)
+# ---------------------------------------------------------------------------
+
+
+def rollout(
+    cfg: DDPGConfig,
+    actor_apply: Callable,
+    env_step: Callable,
+    flatten_obs: Callable,
+    state: DDPGTrainState,
+    env_state,
+    obs,
+    ou_state,  # (B, A) persistent OU noise state
+    sigma,  # (B,) per-env noise scale ladder
+    ep_ret,  # (B,)
+    key,
+    replay: ReplayState,
+):
+    def norm(o):
+        return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
+
+    def step(carry, key_t):
+        env_state, obs, ou, ep_ret, done_sum = carry
+        a_det = actor_apply(state.actor_params, norm(obs))
+        eps = jax.random.normal(key_t, a_det.shape, a_det.dtype)
+        if cfg.noise_type == "ou":
+            ou = ou + cfg.ou_theta * (0.0 - ou) * cfg.ou_dt + sigma[:, None] * np.sqrt(
+                cfg.ou_dt
+            ) * eps
+            noise = ou
+        else:
+            noise = sigma[:, None] * eps
+        action = jnp.clip(a_det + noise, -1.0, 1.0)
+        env_state, ts = env_step(env_state, action)
+        record = {
+            "obs": obs,
+            "action": action,
+            "reward": ts.reward,
+            "done": ts.done,
+        }
+        done_f = ts.done.astype(ep_ret.dtype)
+        # OU state resets at episode boundaries (fresh exploration process)
+        ou = ou * (1.0 - done_f)[:, None]
+        new_ep = ep_ret + ts.reward
+        carry = (
+            env_state,
+            flatten_obs(ts.obs),
+            ou,
+            new_ep * (1.0 - done_f),
+            done_sum + done_f,
+        )
+        return carry, (record, done_f * new_ep)
+
+    B = obs.shape[0]
+    zeros = jnp.zeros((B,), jnp.float32)
+    keys = jax.random.split(key, cfg.rollout_steps)
+    (env_state, obs, ou_state, ep_ret, done_sum), (chunk, done_rets) = jax.lax.scan(
+        step, (env_state, obs, ou_state, ep_ret, zeros), keys
+    )
+    replay = replay_insert(replay, chunk)
+    stats = {
+        "episodes_done": jnp.sum(done_sum),
+        "episode_return_sum": jnp.sum(done_rets),
+    }
+    return replay, env_state, obs, ou_state, ep_ret, chunk, stats
+
+
+# ---------------------------------------------------------------------------
+# Update (learner)
+# ---------------------------------------------------------------------------
+
+
+def update(
+    cfg: DDPGConfig,
+    actor_apply: Callable,
+    critic_apply: Callable,
+    state: DDPGTrainState,
+    replay: ReplayState,
+    key,
+    axis_name: str | None = None,
+):
+    a_opt, c_opt = make_optimizers(cfg)
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
+
+    def norm(o):
+        return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
+
+    def one_update(carry, key_u):
+        state = carry
+        w = replay_sample_nstep(replay, key_u, cfg.batch_size, cfg.n_step)
+        obs = norm(w["obs"][0])
+        action = w["action"][0]
+        next_obs = norm(w["obs"][-1])
+        G, cont = nstep_returns(w["reward"][:-1], w["done"][:-1], cfg.gamma)
+
+        next_a = actor_apply(state.target_actor_params, next_obs)
+        q_next = critic_apply(state.target_critic_params, next_obs, next_a)
+        y = jax.lax.stop_gradient(G + cont * q_next)
+
+        def critic_loss(cp):
+            q = critic_apply(cp, obs, action)
+            return jnp.mean((q - y) ** 2), q
+
+        (c_loss, q), c_grads = jax.value_and_grad(critic_loss, has_aux=True)(
+            state.critic_params
+        )
+        c_grads = pmean(c_grads)
+        c_updates, c_opt_state = c_opt.update(c_grads, state.critic_opt, state.critic_params)
+        critic_params = optax.apply_updates(state.critic_params, c_updates)
+
+        def actor_loss(ap):
+            return -jnp.mean(critic_apply(critic_params, obs, actor_apply(ap, obs)))
+
+        a_loss, a_grads = jax.value_and_grad(actor_loss)(state.actor_params)
+        a_grads = pmean(a_grads)
+        a_updates, a_opt_state = a_opt.update(a_grads, state.actor_opt, state.actor_params)
+        actor_params = optax.apply_updates(state.actor_params, a_updates)
+
+        step_no = state.update_step + 1
+        if cfg.hard_sync_every > 0:
+            do_sync = (step_no % cfg.hard_sync_every) == 0
+            sync = lambda t, s: jnp.where(do_sync, s, t)
+        else:
+            sync = lambda t, s: t + cfg.tau * (s - t)
+        target_actor = jax.tree.map(sync, state.target_actor_params, actor_params)
+        target_critic = jax.tree.map(sync, state.target_critic_params, critic_params)
+
+        new_state = DDPGTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=target_actor,
+            target_critic_params=target_critic,
+            actor_opt=a_opt_state,
+            critic_opt=c_opt_state,
+            zfilter=state.zfilter,
+            update_step=step_no,
+        )
+        metrics = {
+            "critic_loss": c_loss,
+            "actor_loss": a_loss,
+            "q_mean": jnp.mean(q),
+        }
+        return new_state, metrics
+
+    keys = jax.random.split(key, cfg.updates_per_iteration)
+    state, metrics = jax.lax.scan(one_update, state, keys)
+    return state, jax.tree.map(lambda x: x[-1], metrics)
+
+
+def train_step(
+    cfg: DDPGConfig,
+    actor_apply,
+    critic_apply,
+    env_step,
+    flatten_obs,
+    state: DDPGTrainState,
+    replay: ReplayState,
+    env_state,
+    obs,
+    ou_state,
+    sigma,
+    ep_ret,
+    key,
+    axis_name: str | None = None,
+):
+    """One fused iteration: rollout_steps env steps + updates (gated until
+    the replay warmup is reached). Returns all carried state + metrics."""
+    k_roll, k_up = jax.random.split(key)
+    replay, env_state, obs, ou_state, ep_ret, chunk, ep_stats = rollout(
+        cfg, actor_apply, env_step, flatten_obs, state, env_state, obs,
+        ou_state, sigma, ep_ret, k_roll, replay,
+    )
+    if cfg.use_zfilter:
+        zf = zfilter_update(state.zfilter, chunk["obs"], axis_name=axis_name)
+        state = dataclasses.replace(state, zfilter=zf)
+
+    ready = replay.total * replay.num_envs >= cfg.min_replay
+
+    def do_update(args):
+        state, key = args
+        return update(cfg, actor_apply, critic_apply, state, replay, key, axis_name)
+
+    def no_update(args):
+        state, _ = args
+        metrics = {
+            "critic_loss": jnp.zeros(()),
+            "actor_loss": jnp.zeros(()),
+            "q_mean": jnp.zeros(()),
+        }
+        return state, metrics
+
+    state, metrics = jax.lax.cond(ready, do_update, no_update, (state, k_up))
+    metrics.update(ep_stats)
+    return state, replay, env_state, obs, ou_state, ep_ret, metrics

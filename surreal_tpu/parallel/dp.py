@@ -1,0 +1,73 @@
+"""Data-parallel sharding of the fused PPO/DDPG train steps.
+
+Role of the reference's scale-out machinery (actor fleet + sharded
+parameter server + replay shards, SURVEY.md §2D): the env batch shards
+along the `data` mesh axis via `shard_map`; params/optimizer state are
+replicated (psum'd gradients keep them in lockstep — the ICI replacement
+for ZMQ parameter broadcast); per-shard replay buffers are device-local
+(actors hash-route in the reference; here locality is free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from surreal_tpu.algos import ppo
+from surreal_tpu.parallel.mesh import DATA_AXIS
+
+
+def shard_env_batch(mesh: Mesh, tree):
+    """Place a (B, ...)-leading pytree with B sharded over the data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sharded_ppo_step(
+    cfg: ppo.PPOConfig,
+    apply_fn: Callable,
+    env_step: Callable,
+    flatten_obs: Callable,
+    mesh: Mesh,
+):
+    """Returns a jitted train step running `shard_map`ed over the data axis.
+
+    Inputs: train state replicated; (env_state, obs, ep_ret) sharded on
+    their leading env-batch axis; key replicated (folded per-shard so each
+    shard rolls out distinct randomness). Outputs mirror inputs; metrics
+    are pmean'd (identical on every shard).
+    """
+
+    def step(state, env_state, obs, ep_ret, key):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard_id)
+        state, env_state, obs, ep_ret, metrics = ppo.train_step(
+            cfg, apply_fn, env_step, flatten_obs,
+            state, env_state, obs, ep_ret, key, axis_name=DATA_AXIS,
+        )
+        # Scalar metrics: make identical across shards so out_specs=P() is valid.
+        metrics = {
+            k: (jax.lax.psum(v, DATA_AXIS) if k in ("episodes_done", "episode_return_sum")
+                else jax.lax.pmean(v, DATA_AXIS))
+            for k, v in metrics.items()
+        }
+        return state, env_state, obs, ep_ret, metrics
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1, 2, 3))

@@ -1,0 +1,122 @@
+"""Single-program DDPG trainer (BASELINE config 3: walker-walk, 1 host)."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surreal_tpu.algos import ddpg
+from surreal_tpu.envs import base as env_base
+from surreal_tpu.envs import make_env
+from surreal_tpu.models.ddpg_nets import DDPGActor, DDPGCritic
+from surreal_tpu.utils import get_logger
+
+
+class DDPGTrainer:
+    def __init__(
+        self,
+        env_name: str,
+        cfg: ddpg.DDPGConfig | None = None,
+        num_envs: int = 128,
+        seed: int = 0,
+        actor_hidden=(300, 200),
+        critic_hidden=(400, 300),
+        compute_dtype=jnp.float32,
+        env_kwargs: dict | None = None,
+    ):
+        self.cfg = cfg or ddpg.DDPGConfig()
+        self.env = make_env(env_name, **(env_kwargs or {}))
+        self.num_envs = num_envs
+        self.log = get_logger("ddpg")
+
+        obs_dim = env_base.obs_flat_dim(self.env)
+        act_dim = self.env.action_dim
+        self.actor = DDPGActor(act_dim, tuple(actor_hidden), compute_dtype=compute_dtype)
+        self.critic = DDPGCritic(tuple(critic_hidden), compute_dtype=compute_dtype)
+
+        key = jax.random.PRNGKey(seed)
+        self.key, k_a, k_c, k_reset = jax.random.split(key, 4)
+        actor_params = self.actor.init(k_a, jnp.zeros((1, obs_dim)))
+        critic_params = self.critic.init(k_c, jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim)))
+        self.state = ddpg.init_state(self.cfg, actor_params, critic_params, obs_dim)
+        self.replay = ddpg.init_replay(self.cfg, num_envs, obs_dim, act_dim)
+        self.sigma = jnp.asarray(ddpg.noise_ladder(self.cfg, num_envs))
+
+        reset_fn, step_fn = env_base.vectorize(self.env)
+        env_state, ts0 = jax.jit(reset_fn)(jax.random.split(k_reset, num_envs))
+        self.env_state = env_state
+        self.obs = env_base.flatten_obs(ts0.obs)
+        self.ou_state = jnp.zeros((num_envs, act_dim))
+        self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
+
+        self._train_step = jax.jit(
+            partial(
+                ddpg.train_step,
+                self.cfg,
+                self.actor.apply,
+                self.critic.apply,
+                step_fn,
+                env_base.flatten_obs,
+            )
+        )
+
+    @property
+    def steps_per_iteration(self) -> int:
+        return self.cfg.rollout_steps * self.num_envs
+
+    def run(self, iterations: int, log_every: int = 50, metric_sink: Callable | None = None):
+        logs = []
+        ep_ret_acc = jnp.zeros(())
+        ep_cnt_acc = jnp.zeros(())
+        t0 = time.perf_counter()
+        for it in range(1, iterations + 1):
+            self.key, sub = jax.random.split(self.key)
+            (
+                self.state, self.replay, self.env_state, self.obs,
+                self.ou_state, self.ep_ret, metrics,
+            ) = self._train_step(
+                self.state, self.replay, self.env_state, self.obs,
+                self.ou_state, self.sigma, self.ep_ret, sub,
+            )
+            ep_ret_acc = ep_ret_acc + metrics["episode_return_sum"]
+            ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
+            if it % log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m.pop("episode_return_sum")
+                m.pop("episodes_done")
+                cnt = float(ep_cnt_acc)
+                dt = time.perf_counter() - t0
+                m["iteration"] = it
+                m["env_steps"] = it * self.steps_per_iteration
+                m["updates"] = int(self.state.update_step)
+                m["env_steps_per_s"] = log_every * self.steps_per_iteration / dt
+                if cnt > 0:
+                    m["episode_return"] = float(ep_ret_acc) / cnt
+                    ep_ret_acc = jnp.zeros(())
+                    ep_cnt_acc = jnp.zeros(())
+                logs.append(m)
+                if metric_sink:
+                    metric_sink(m)
+                self.log.info(
+                    "it %d steps %.2e upd %d sps %.0f ret %s q %.2f",
+                    it, m["env_steps"], m["updates"], m["env_steps_per_s"],
+                    f"{m.get('episode_return', float('nan')):.1f}", m["q_mean"],
+                )
+                t0 = time.perf_counter()
+        return logs
+
+    def evaluate(self, episodes: int = 16, seed: int = 0):
+        from surreal_tpu.train.evaluator import evaluate_policy
+
+        def policy(params, obs, key):
+            return self.actor.apply(params, obs)
+
+        zf = self.state.zfilter if self.cfg.use_zfilter else None
+        return evaluate_policy(
+            self.env, policy, self.state.actor_params, zf, episodes=episodes, seed=seed
+        )

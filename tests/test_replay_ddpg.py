@@ -1,0 +1,78 @@
+"""Replay buffer semantics + DDPG train-step mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surreal_tpu.data.replay import (
+    replay_init, replay_insert, replay_sample_nstep, replay_sampleable,
+)
+from surreal_tpu.algos.ddpg import DDPGConfig
+from surreal_tpu.train import DDPGTrainer
+
+
+def test_ring_overwrites_oldest():
+    st = replay_init({"x": jnp.zeros((4,))}, capacity_t=8)
+    for i in range(5):
+        st = replay_insert(st, {"x": jnp.full((3, 4), float(i))})
+    assert int(st.total) == 15
+    live = set(np.asarray(st.data["x"]).ravel().tolist())
+    # chunks 0..4 inserted; capacity 8 keeps only the last 8 steps = chunks 2(partial),3,4
+    assert live == {2.0, 3.0, 4.0}
+
+
+def test_sample_excludes_overwritten_and_unwritten():
+    st = replay_init({"t": jnp.zeros((2,), jnp.int32)}, capacity_t=16)
+    for i in range(6):
+        st = replay_insert(st, {"t": jnp.full((4, 2), i * 4 + jnp.arange(4)[:, None], jnp.int32)})
+    # total 24, capacity 16 -> live absolute steps 8..23
+    w = replay_sample_nstep(st, jax.random.PRNGKey(0), 256, n_step=3)
+    vals = np.asarray(w["t"])
+    assert vals.min() >= 8 and vals.max() <= 23
+    # windows are consecutive in time
+    np.testing.assert_array_equal(vals[1] - vals[0], np.ones_like(vals[0]))
+
+
+def test_sampleable_counts():
+    st = replay_init({"x": jnp.zeros((1,))}, capacity_t=8)
+    assert int(replay_sampleable(st, 4)) == 0
+    st = replay_insert(st, {"x": jnp.zeros((4, 1))})
+    assert int(replay_sampleable(st, 4)) == 1  # only window starting at 0
+
+
+def test_ddpg_step_mechanics():
+    cfg = DDPGConfig(
+        rollout_steps=4, updates_per_iteration=2, batch_size=32,
+        min_replay=100, replay_capacity=4096, n_step=3,
+    )
+    tr = DDPGTrainer(
+        "cartpole-balance", cfg, num_envs=8, seed=0,
+        actor_hidden=(32, 32), critic_hidden=(32, 32),
+    )
+    logs = tr.run(6, log_every=2)
+    assert all(np.isfinite(v) for m in logs for v in m.values())
+    # warmup gating: no updates until min_replay transitions collected
+    assert logs[0]["updates"] == 0
+    assert logs[-1]["updates"] > 0
+    # target params moved toward online params but are not equal
+    ta = jax.tree.leaves(tr.state.target_actor_params)[0]
+    a = jax.tree.leaves(tr.state.actor_params)[0]
+    assert not np.allclose(np.asarray(ta), np.asarray(a))
+
+
+def test_ddpg_hard_sync():
+    cfg = DDPGConfig(
+        rollout_steps=4, updates_per_iteration=4, batch_size=16,
+        min_replay=16, replay_capacity=1024, hard_sync_every=4,
+    )
+    tr = DDPGTrainer(
+        "cartpole-balance", cfg, num_envs=4, seed=0,
+        actor_hidden=(16, 16), critic_hidden=(16, 16),
+    )
+    tr.run(3, log_every=3)
+    # after a hard sync multiple of 4 updates, targets equal online params
+    if int(tr.state.update_step) % 4 == 0 and int(tr.state.update_step) > 0:
+        ta = jax.tree.leaves(tr.state.target_actor_params)[0]
+        a = jax.tree.leaves(tr.state.actor_params)[0]
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(a))
