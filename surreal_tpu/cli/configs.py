@@ -1,0 +1,113 @@
+"""Per-algorithm config generators.
+
+Role of the reference's `surreal/main/ppo_configs.py` / `ddpg_configs.py`
++ BASE_* session configs [SURVEY.md §2]: a three-part Config triple
+(learner / env / session) with required-placeholder validation, overridable
+from the CLI via dotted --set keys.
+"""
+
+from __future__ import annotations
+
+from surreal_tpu.config import Config, REQUIRED, extend_config
+
+BASE_ENV_CONFIG = Config(
+    env_name=REQUIRED("e.g. cheetah-run"),
+    num_envs=256,
+    pixel_obs=False,
+)
+
+BASE_SESSION_CONFIG = Config(
+    experiment_name="exp",
+    results_dir="results",
+    seed=0,
+    total_env_steps=5_000_000,
+    eval_every_steps=500_000,
+    eval_episodes=16,
+    checkpoint_every_steps=1_000_000,
+    keep_latest_checkpoints=3,
+    tensorboard=True,
+    log_every_iterations=20,
+    # parallel layout (SURVEY.md §2D/E): data-parallel shards etc.
+    mesh=Config(data=None, model=1, time=1),
+    multihost=Config(coordinator=None, num_processes=None, process_id=None),
+)
+
+PPO_BASE_LEARNER_CONFIG = Config(
+    algo="ppo",
+    horizon=128,
+    gamma=0.99,
+    lam=0.95,
+    clip_eps=0.2,
+    epochs=4,
+    num_minibatches=8,
+    lr=3e-4,
+    entropy_coef=0.0,
+    value_coef=0.5,
+    max_grad_norm=0.5,
+    normalize_adv=True,
+    use_zfilter=True,
+    objective="clip",
+    kl_target=0.01,
+    adapt_lr=True,
+    hidden=[256, 256],
+    compute_dtype="float32",
+)
+
+DDPG_BASE_LEARNER_CONFIG = Config(
+    algo="ddpg",
+    rollout_steps=16,
+    updates_per_iteration=16,
+    batch_size=256,
+    replay_capacity=1_000_000,
+    min_replay=10_000,
+    gamma=0.99,
+    n_step=3,
+    actor_lr=1e-4,
+    critic_lr=1e-3,
+    tau=5e-3,
+    hard_sync_every=0,
+    use_zfilter=False,
+    noise_type="ou",
+    sigma_min=0.05,
+    sigma_max=0.4,
+    actor_hidden=[300, 200],
+    critic_hidden=[400, 300],
+    compute_dtype="float32",
+)
+
+
+def generate_configs(algo: str, overrides: dict | None = None):
+    """-> (learner_config, env_config, session_config), validated."""
+    overrides = Config(overrides or {})
+    base_learner = {
+        "ppo": PPO_BASE_LEARNER_CONFIG,
+        "ddpg": DDPG_BASE_LEARNER_CONFIG,
+    }[algo]
+    learner = extend_config(overrides.get("learner"), base_learner)
+    env = extend_config(overrides.get("env"), BASE_ENV_CONFIG)
+    session = extend_config(overrides.get("session"), BASE_SESSION_CONFIG)
+    return learner, env, session
+
+
+def to_algo_config(learner: Config):
+    """Config -> typed dataclass consumed by the algorithm."""
+    if learner.algo == "ppo":
+        from surreal_tpu.algos.ppo import PPOConfig
+
+        keys = [
+            "horizon", "gamma", "lam", "clip_eps", "epochs", "num_minibatches",
+            "lr", "entropy_coef", "value_coef", "max_grad_norm", "normalize_adv",
+            "use_zfilter", "objective", "kl_target", "adapt_lr",
+        ]
+        return PPOConfig(**{k: learner[k] for k in keys})
+    elif learner.algo == "ddpg":
+        from surreal_tpu.algos.ddpg import DDPGConfig
+
+        keys = [
+            "rollout_steps", "updates_per_iteration", "batch_size",
+            "replay_capacity", "min_replay", "gamma", "n_step", "actor_lr",
+            "critic_lr", "tau", "hard_sync_every", "use_zfilter", "noise_type",
+            "sigma_min", "sigma_max",
+        ]
+        return DDPGConfig(**{k: learner[k] for k in keys})
+    raise ValueError(f"unknown algo {learner.algo!r}")

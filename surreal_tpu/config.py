@@ -116,6 +116,11 @@ def _parse_scalar(v: Any) -> Any:
         return low == "true"
     if low in ("null", "none"):
         return None
+    if v[:1] in ("[", "{"):
+        try:
+            return json.loads(v)
+        except json.JSONDecodeError:
+            return v
     for cast in (int, float):
         try:
             return cast(v)
