@@ -158,7 +158,7 @@ def rollout(
         new_ep = ep_ret + ts.reward
         carry = (
             env_state,
-            flatten_obs(ts.obs),
+            flatten_obs(ts.carry_obs),
             ou,
             new_ep * (1.0 - done_f),
             done_sum + done_f,

@@ -142,8 +142,10 @@ def rollout(
         action = DiagGauss.sample(key_t, mean, log_std)
         log_prob = DiagGauss.log_prob(mean, log_std, action)
         env_state, ts = env_step(env_state, action)
-        next_obs = flatten_obs(ts.obs)
-        _, _, next_value = apply_fn(state.params, norm(next_obs))
+        # Bootstrap value on the PRE-reset obs (terminal obs at done);
+        # the next policy input is the post-reset carry_obs.
+        _, _, next_value = apply_fn(state.params, norm(flatten_obs(ts.obs)))
+        next_obs = flatten_obs(ts.carry_obs)
         tr = Trajectory(
             obs=obs,
             action=action,
@@ -247,7 +249,7 @@ def update(
 
     N = T * B
     flat = (
-        obs.reshape(N, -1),
+        obs.reshape((N,) + obs.shape[2:]),  # works for flat AND pixel obs
         traj.action.reshape(N, -1),
         traj.log_prob.reshape(N),
         traj.mean.reshape(N, -1),

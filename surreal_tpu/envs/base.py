@@ -38,7 +38,8 @@ class EnvState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Timestep:
-    obs: Mapping[str, jax.Array]  # modality name -> array ('low_dim', 'pixel', ...)
+    obs: Mapping[str, jax.Array]  # obs BEFORE auto-reset (terminal obs at `done`) — bootstrap target
+    carry_obs: Mapping[str, jax.Array]  # obs of the RETURNED state (post-reset) — next policy input
     reward: jax.Array
     discount: jax.Array  # 0.0 only on true termination; 1.0 on truncation
     done: jax.Array  # bool: episode boundary (either kind)
@@ -96,8 +97,10 @@ class Environment:
         init_key, carry_key = jax.random.split(key)
         q, qd = self._init(init_key)
         state = EnvState(q=q, qd=qd, t=jnp.int32(0), key=carry_key)
+        obs = self._obs(q, qd)
         ts = Timestep(
-            obs=self._obs(q, qd),
+            obs=obs,
+            carry_obs=obs,
             reward=jnp.zeros((), q.dtype),
             discount=jnp.ones((), q.dtype),
             done=jnp.zeros((), jnp.bool_),
@@ -122,8 +125,13 @@ class Environment:
             t=jnp.where(done, jnp.int32(0), t),
             key=jnp.where(done, carry_key, state.key),
         )
+        # Policy input for the NEXT step: the new episode's first obs when
+        # auto-reset fired, else the current obs.
+        obs0 = self._obs(q0, qd0)
+        carry_obs = jax.tree.map(lambda a, b: jnp.where(done, a, b), obs0, obs)
         ts = Timestep(
             obs=obs,
+            carry_obs=carry_obs,
             reward=reward,
             discount=jnp.ones((), q.dtype),  # time-limit truncation: bootstrap
             done=done,

@@ -51,6 +51,7 @@ def gae(
     gamma: float,
     lam: float,
     associative: bool = True,
+    backend: str = "xla",  # 'xla' | 'pallas' (fused kernel, (T, B) f32, B % 128 == 0)
 ):
     """Generalized Advantage Estimation with correct truncation bootstrap.
 
@@ -59,6 +60,10 @@ def gae(
 
     Returns (advantages, value_targets) with value_targets = A + V.
     """
+    if backend == "pallas":
+        from surreal_tpu.ops.pallas_gae import gae_pallas
+
+        return gae_pallas(rewards, values, next_values, discounts, dones, gamma, lam)
     dones_f = dones.astype(values.dtype)
     delta = rewards + gamma * discounts * next_values - values
     coef = gamma * lam * discounts * (1.0 - dones_f)

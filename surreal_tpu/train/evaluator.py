@@ -15,16 +15,18 @@ from surreal_tpu.envs import base as env_base
 from surreal_tpu.models.z_filter import zfilter_normalize
 
 
-def evaluate_policy(env, policy_fn, params, zfilter=None, episodes: int = 16, seed: int = 0):
+def evaluate_policy(env, policy_fn, params, zfilter=None, episodes: int = 16, seed: int = 0,
+                    flatten=None):
     """policy_fn(params, obs, key) -> action. Runs `episodes` parallel envs
     for one full episode each; returns dict with mean/std/min/max return."""
+    flatten = flatten or env_base.flatten_obs
     reset_fn, step_fn = env_base.vectorize(env)
     key = jax.random.PRNGKey(seed)
     k_reset, k_run = jax.random.split(key)
 
     def run():
         env_state, ts = reset_fn(jax.random.split(k_reset, episodes))
-        obs = env_base.flatten_obs(ts.obs)
+        obs = flatten(ts.obs)
 
         def step(carry, key_t):
             env_state, obs, ep_ret = carry
@@ -32,7 +34,7 @@ def evaluate_policy(env, policy_fn, params, zfilter=None, episodes: int = 16, se
             action = policy_fn(params, o, key_t)
             env_state, ts = step_fn(env_state, action)
             ep_ret = ep_ret + ts.reward
-            return (env_state, env_base.flatten_obs(ts.obs), ep_ret), None
+            return (env_state, flatten(ts.carry_obs), ep_ret), None
 
         keys = jax.random.split(k_run, env.episode_steps)
         (_, _, ep_ret), _ = jax.lax.scan(

@@ -8,6 +8,7 @@ multi-host / sharded variant lives in surreal_tpu/parallel.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from functools import partial
 from typing import Callable
@@ -32,26 +33,38 @@ class PPOTrainer:
         seed: int = 0,
         hidden=(64, 64),
         compute_dtype=jnp.float32,
+        pixel_obs: bool = False,
         env_kwargs: dict | None = None,
     ):
-        self.cfg = cfg or ppo.PPOConfig()
+        cfg = cfg or ppo.PPOConfig()
         self.env = make_env(env_name, **(env_kwargs or {}))
+        if pixel_obs:
+            from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
+
+            self.env = PixelWrapper(self.env)
+            self._flatten = pixel_flatten_obs
+            cfg = dataclasses.replace(cfg, use_zfilter=False)  # net scales uint8
+        else:
+            self._flatten = env_base.flatten_obs
+        self.cfg = cfg
         self.num_envs = num_envs
         self.log = get_logger("ppo")
 
         self.net = PPOActorCritic(
-            action_dim=self.env.action_dim, hidden=tuple(hidden), compute_dtype=compute_dtype
+            action_dim=self.env.action_dim, hidden=tuple(hidden),
+            pixel_obs=pixel_obs, compute_dtype=compute_dtype,
         )
-        obs_dim = env_base.obs_flat_dim(self.env)
         key = jax.random.PRNGKey(seed)
         self.key, k_init, k_reset = jax.random.split(key, 3)
-        params = self.net.init(k_init, jnp.zeros((1, obs_dim)))
-        self.state = ppo.init_state(self.cfg, params, obs_dim)
 
         reset_fn, step_fn = env_base.vectorize(self.env)
         env_state, ts0 = jax.jit(reset_fn)(jax.random.split(k_reset, num_envs))
         self.env_state = env_state
-        self.obs = env_base.flatten_obs(ts0.obs)
+        self.obs = self._flatten(ts0.obs)
+
+        obs_dim = 0 if pixel_obs else env_base.obs_flat_dim(self.env)
+        params = self.net.init(k_init, self.obs[:1])
+        self.state = ppo.init_state(self.cfg, params, max(obs_dim, 1))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
 
         self._train_step = jax.jit(
@@ -60,10 +73,9 @@ class PPOTrainer:
                 self.cfg,
                 self.net.apply,
                 step_fn,
-                env_base.flatten_obs,
+                self._flatten,
             )
         )
-        self._eval_fn = None
 
     @property
     def steps_per_iteration(self) -> int:
@@ -124,5 +136,6 @@ class PPOTrainer:
 
         zf = self.state.zfilter if self.cfg.use_zfilter else None
         return evaluate_policy(
-            self.env, policy, self.state.params, zf, episodes=episodes, seed=seed
+            self.env, policy, self.state.params, zf, episodes=episodes, seed=seed,
+            flatten=self._flatten,
         )

@@ -53,6 +53,7 @@ def test_generate_configs_validation():
         generate_configs("ddpg", {"env": {"env_name": "x"}, "learner": {"nope": 1}})
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """Full subprocess drive: train tiny PPO, then eval from checkpoint."""
     env = dict(os.environ, SURREAL_TPU_PLATFORM="cpu")

@@ -1,0 +1,87 @@
+"""Rasterizer + PixelWrapper + pixel PPO plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surreal_tpu.envs import make_env
+from surreal_tpu.envs.render import make_renderer
+from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
+
+
+def test_render_shapes_and_determinism():
+    env = make_env("cheetah-run")
+    render = jax.jit(make_renderer(env.model))
+    q, _ = env._init(jax.random.PRNGKey(0))
+    img1 = render(q)
+    img2 = render(q)
+    assert img1.shape == (84, 84, 3) and img1.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    # scene has contrast: body pixels differ from background
+    assert len(np.unique(np.asarray(img1))) > 10
+
+
+def test_render_translation_invariant_camera():
+    """Camera tracks root x: shifting the cheetah horizontally must not
+    change the image (egocentric view)."""
+    env = make_env("cheetah-run")
+    render = jax.jit(make_renderer(env.model))
+    q, _ = env._init(jax.random.PRNGKey(0))
+    q_shift = q.at[0].add(5.0)
+    a = np.asarray(render(q)).astype(int)
+    b = np.asarray(render(q_shift)).astype(int)
+    assert np.abs(a - b).max() <= 1  # float rounding of camera grid only
+
+
+def test_cartpole_has_no_render_geoms():
+    env = make_env("cartpole-balance")
+    with pytest.raises(ValueError):
+        make_renderer(env.model)
+
+
+def test_pixel_wrapper_stack_semantics():
+    env = PixelWrapper(make_env("cheetah-run"), frame_stack=3, grayscale=True)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.obs["pixel"].shape == (84, 84, 3)
+    f0 = np.asarray(ts.obs["pixel"])
+    # at reset the stack is the first frame tiled
+    np.testing.assert_array_equal(f0[..., 0], f0[..., 1])
+    step = jax.jit(env.step)
+    state, ts = step(state, jnp.zeros(6))
+    nxt = np.asarray(ts.carry_obs["pixel"])
+    # newest frame appended at the end; oldest dropped
+    np.testing.assert_array_equal(nxt[..., 0], f0[..., 1])
+    assert ts.carry_obs["pixel"].dtype == jnp.uint8
+
+
+def test_carry_obs_resets_at_boundary():
+    """Regression: the policy input after auto-reset must be the NEW
+    episode's obs, not the terminal obs."""
+    from surreal_tpu.envs.base import EnvState, vectorize
+
+    env = make_env("cartpole-balance")
+    reset_fn, step_fn = vectorize(env)
+    B = 4
+    state, _ = reset_fn(jax.random.split(jax.random.PRNGKey(0), B))
+    # push cart far away so terminal obs is distinctive
+    state = EnvState(
+        q=state.q.at[:, 0].set(1.5),
+        qd=state.qd,
+        t=jnp.full((B,), env.episode_steps - 1, jnp.int32),
+        key=state.key,
+    )
+    s2, ts = jax.jit(step_fn)(state, jnp.zeros((B, 1)))
+    # terminal obs reflects the far-away cart
+    assert float(jnp.abs(ts.obs["position"][:, 0]).min()) > 1.0
+    # carried obs reflects the reset state (cart near centre)
+    assert float(jnp.abs(ts.carry_obs["position"][:, 0]).max()) < 0.2
+    # and matches the new state's own obs
+    np.testing.assert_allclose(
+        np.asarray(ts.carry_obs["position"][:, 0]), np.asarray(s2.q[:, 0]), atol=1e-6
+    )
+
+
+def test_pixel_flatten():
+    obs = {"pixel": jnp.zeros((2, 84, 84, 3), jnp.uint8), "velocity": jnp.zeros((2, 9))}
+    assert pixel_flatten_obs(obs).shape == (2, 84, 84, 3)
