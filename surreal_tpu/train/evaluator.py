@@ -2,7 +2,8 @@
 
 Role of the reference's eval agent processes (SURVEY.md §3.5): run the
 policy in deterministic (or fixed-noise) mode over full episodes on a
-reserved env batch, report episode returns. One jitted scan.
+reserved env batch, report episode returns. One jitted scan. Supports
+stateful (LSTM) policies via the policy-state carry.
 """
 
 from __future__ import annotations
@@ -16,29 +17,34 @@ from surreal_tpu.models.z_filter import zfilter_normalize
 
 
 def evaluate_policy(env, policy_fn, params, zfilter=None, episodes: int = 16, seed: int = 0,
-                    flatten=None):
-    """policy_fn(params, obs, key) -> action. Runs `episodes` parallel envs
-    for one full episode each; returns dict with mean/std/min/max return."""
+                    flatten=None, init_policy_state=None):
+    """policy_fn(params, obs, key[, pstate]) -> action | (action, pstate).
+    Runs `episodes` parallel envs for one full episode each; returns dict
+    with mean/std/min/max return."""
     flatten = flatten or env_base.flatten_obs
-    reset_fn, step_fn = env_base.vectorize(env)
+    stateful = init_policy_state is not None
     key = jax.random.PRNGKey(seed)
     k_reset, k_run = jax.random.split(key)
+    reset_fn, step_fn = env_base.vectorize(env)
 
     def run():
         env_state, ts = reset_fn(jax.random.split(k_reset, episodes))
         obs = flatten(ts.obs)
 
         def step(carry, key_t):
-            env_state, obs, ep_ret = carry
+            env_state, obs, pstate, ep_ret = carry
             o = zfilter_normalize(zfilter, obs) if zfilter is not None else obs
-            action = policy_fn(params, o, key_t)
+            if stateful:
+                action, pstate = policy_fn(params, o, key_t, pstate)
+            else:
+                action = policy_fn(params, o, key_t)
             env_state, ts = step_fn(env_state, action)
             ep_ret = ep_ret + ts.reward
-            return (env_state, flatten(ts.carry_obs), ep_ret), None
+            return (env_state, flatten(ts.carry_obs), pstate, ep_ret), None
 
         keys = jax.random.split(k_run, env.episode_steps)
-        (_, _, ep_ret), _ = jax.lax.scan(
-            step, (env_state, obs, jnp.zeros(episodes)), keys
+        (_, _, _, ep_ret), _ = jax.lax.scan(
+            step, (env_state, obs, init_policy_state, jnp.zeros(episodes)), keys
         )
         return ep_ret
 

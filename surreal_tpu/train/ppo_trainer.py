@@ -34,6 +34,8 @@ class PPOTrainer:
         hidden=(64, 64),
         compute_dtype=jnp.float32,
         pixel_obs: bool = False,
+        use_lstm: bool = False,
+        lstm_size: int = 128,
         env_kwargs: dict | None = None,
     ):
         cfg = cfg or ppo.PPOConfig()
@@ -50,9 +52,11 @@ class PPOTrainer:
         self.num_envs = num_envs
         self.log = get_logger("ppo")
 
+        self.use_lstm = use_lstm
         self.net = PPOActorCritic(
             action_dim=self.env.action_dim, hidden=tuple(hidden),
-            pixel_obs=pixel_obs, compute_dtype=compute_dtype,
+            pixel_obs=pixel_obs, use_lstm=use_lstm, lstm_size=lstm_size,
+            compute_dtype=compute_dtype,
         )
         key = jax.random.PRNGKey(seed)
         self.key, k_init, k_reset = jax.random.split(key, 3)
@@ -63,19 +67,30 @@ class PPOTrainer:
         self.obs = self._flatten(ts0.obs)
 
         obs_dim = 0 if pixel_obs else env_base.obs_flat_dim(self.env)
-        params = self.net.init(k_init, self.obs[:1])
+        if use_lstm:
+            self.carry = self.net.initial_carry((num_envs,))
+            params = self.net.init(
+                k_init, self.obs[:1], jax.tree.map(lambda c: c[:1], self.carry)
+            )
+        else:
+            params = self.net.init(k_init, self.obs[:1])
         self.state = ppo.init_state(self.cfg, params, max(obs_dim, 1))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
 
-        self._train_step = jax.jit(
-            partial(
-                ppo.train_step,
-                self.cfg,
-                self.net.apply,
-                step_fn,
-                self._flatten,
+        if use_lstm:
+            from surreal_tpu.algos import ppo_lstm
+
+            self._train_step = jax.jit(
+                partial(
+                    ppo_lstm.train_step, self.cfg, self.net.apply, step_fn, self._flatten
+                )
             )
-        )
+        else:
+            self._train_step = jax.jit(
+                partial(
+                    ppo.train_step, self.cfg, self.net.apply, step_fn, self._flatten
+                )
+            )
 
     @property
     def steps_per_iteration(self) -> int:
@@ -90,9 +105,17 @@ class PPOTrainer:
         t0 = time.perf_counter()
         for it in range(1, iterations + 1):
             self.key, sub = jax.random.split(self.key)
-            self.state, self.env_state, self.obs, self.ep_ret, metrics = self._train_step(
-                self.state, self.env_state, self.obs, self.ep_ret, sub
-            )
+            if self.use_lstm:
+                (
+                    self.state, self.env_state, self.obs, self.carry,
+                    self.ep_ret, metrics,
+                ) = self._train_step(
+                    self.state, self.env_state, self.obs, self.carry, self.ep_ret, sub
+                )
+            else:
+                self.state, self.env_state, self.obs, self.ep_ret, metrics = self._train_step(
+                    self.state, self.env_state, self.obs, self.ep_ret, sub
+                )
             ep_ret_acc = ep_ret_acc + metrics["episode_return_sum"]
             ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
             if it % log_every == 0:
@@ -124,17 +147,26 @@ class PPOTrainer:
 
     # ---- evaluation (reference's eval workers, SURVEY.md §3.5) ----
     def evaluate(self, episodes: int = 16, stochastic: bool = False, seed: int = 0):
+        from surreal_tpu.models.distributions import DiagGauss
         from surreal_tpu.train.evaluator import evaluate_policy
+
+        zf = self.state.zfilter if self.cfg.use_zfilter else None
+        if self.use_lstm:
+            def policy(params, obs, key, carry):
+                mean, log_std, _, carry = self.net.apply(params, obs, carry)
+                a = DiagGauss.sample(key, mean, log_std) if stochastic else mean
+                return a, carry
+
+            return evaluate_policy(
+                self.env, policy, self.state.params, zf, episodes=episodes,
+                seed=seed, flatten=self._flatten,
+                init_policy_state=self.net.initial_carry((episodes,)),
+            )
 
         def policy(params, obs, key):
             mean, log_std, _ = self.net.apply(params, obs)
-            if stochastic:
-                from surreal_tpu.models.distributions import DiagGauss
+            return DiagGauss.sample(key, mean, log_std) if stochastic else mean
 
-                return DiagGauss.sample(key, mean, log_std)
-            return mean
-
-        zf = self.state.zfilter if self.cfg.use_zfilter else None
         return evaluate_policy(
             self.env, policy, self.state.params, zf, episodes=episodes, seed=seed,
             flatten=self._flatten,
