@@ -162,11 +162,16 @@ def obs_flat_dim(env: "Environment") -> int:
 
 
 def vectorize(env: Environment):
-    """Returns (reset_fn, step_fn) vmapped over a batch of env instances.
+    """Returns (reset_fn, step_fn) over a batch of env instances — vmapped
+    for per-instance JAX-native envs; passed through for envs that are
+    already batched (host-loop adapters set `batched = True`, and their
+    reset takes ONE key for the whole batch).
 
     This is the TPU replacement for the reference's fleet of actor processes
     (surreal.agent + surreal.env adapters): one lockstep batch under jit.
     """
+    if getattr(env, "batched", False):
+        return (lambda keys: env.reset(keys[0] if keys.ndim > 1 else keys)), env.step
     reset_fn = jax.vmap(env.reset)
     step_fn = jax.vmap(env.step)
     return reset_fn, step_fn

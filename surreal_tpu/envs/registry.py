@@ -40,6 +40,11 @@ def _builtin():
 def make_env(name: str, **kwargs) -> Environment:
     if not _REGISTRY:
         _builtin()
+    if name.startswith("gym:"):
+        # reference-style "gym:<env_id>" dispatch — host-loop adapter
+        from surreal_tpu.envs.gym_adapter import GymEnv
+
+        return GymEnv(name.split(":", 1)[1], **kwargs)
     key = name.split(":", 1)[-1]  # strip "dm_control:" style prefix
     if key not in _REGISTRY:
         raise KeyError(f"Unknown env {name!r}; available: {sorted(_REGISTRY)}")

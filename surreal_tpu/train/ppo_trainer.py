@@ -39,7 +39,10 @@ class PPOTrainer:
         env_kwargs: dict | None = None,
     ):
         cfg = cfg or ppo.PPOConfig()
-        self.env = make_env(env_name, **(env_kwargs or {}))
+        env_kwargs = dict(env_kwargs or {})
+        if env_name.startswith("gym:"):
+            env_kwargs.setdefault("num_envs", num_envs)
+        self.env = make_env(env_name, **env_kwargs)
         if pixel_obs:
             from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
 
