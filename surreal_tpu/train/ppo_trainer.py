@@ -123,6 +123,11 @@ class PPOTrainer:
             ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
             if it % log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                bad = [k for k, v in m.items() if not np.isfinite(v)]
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training metrics at iteration {it}: {bad} ({m})"
+                    )
                 m.pop("episode_return_sum")
                 m.pop("episodes_done")
                 cnt = float(ep_cnt_acc)
