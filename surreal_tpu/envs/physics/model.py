@@ -188,9 +188,11 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         gpos = m.geom_pos[g][[0, 2]]
         if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_CAPSULE:
             r, half = float(m.geom_size[g][0]), float(m.geom_size[g][1])
-            ang = _quat_to_yangle(m.geom_quat[g])
-            # Capsule axis = local z rotated by `ang` about +y (planar).
-            d = np.array([np.sin(ang), np.cos(ang)]) * half
+            # Capsule axis = geom-frame local z in the body frame; must lie
+            # in the x-z plane (out-of-plane y component would be 3-D).
+            axis3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
+            assert abs(axis3[1]) < 1e-8, f"capsule axis out of plane: {axis3}"
+            d = axis3[[0, 2]] * half
             pts = [gpos + d, gpos - d]
         elif m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE:
             r = float(m.geom_size[g][0])

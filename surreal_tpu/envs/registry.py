@@ -32,6 +32,14 @@ def _builtin():
         "cartpole-swingup_sparse", lambda **kw: Cartpole(swing_up=True, sparse=True, **kw)
     )
     register("cheetah-run", lambda **kw: CheetahRun(**kw))
+    from surreal_tpu.envs.classic import AcrobotSwingup, PendulumSwingup
+    from surreal_tpu.envs.hopper import Hopper
+
+    register("pendulum-swingup", lambda **kw: PendulumSwingup(**kw))
+    register("acrobot-swingup", lambda **kw: AcrobotSwingup(sparse=False, **kw))
+    register("acrobot-swingup_sparse", lambda **kw: AcrobotSwingup(sparse=True, **kw))
+    register("hopper-stand", lambda **kw: Hopper(hopping=False, **kw))
+    register("hopper-hop", lambda **kw: Hopper(hopping=True, **kw))
     register("walker-stand", lambda **kw: Walker(move_speed=0.0, **kw))
     register("walker-walk", lambda **kw: Walker(move_speed=1.0, **kw))
     register("walker-run", lambda **kw: Walker(move_speed=8.0, **kw))

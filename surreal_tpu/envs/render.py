@@ -105,8 +105,14 @@ def _render(m, q, gb, gp0, gp1, gr, height, width, half_extent):
     body_shade = jnp.max(cover * shades[None, None], -1)
 
     ground = jax.nn.sigmoid((0.0 - pz) / (0.7 * pitch))
-    # composite: background 0.2, ground 0.45, body shades on top
-    img = 0.2 + (0.45 - 0.2) * ground
+    # World-fixed stripe texture on the ground (the role of dm_control's
+    # checkered grid): without it an egocentric camera has no optical-flow
+    # cue for horizontal velocity — the run-speed reward would be invisible
+    # from pixels.
+    stripes = 0.5 + 0.5 * jnp.sin(px * (2 * jnp.pi / 0.5))
+    ground_shade = 0.38 + 0.14 * stripes
+    # composite: background 0.2, textured ground, body shades on top
+    img = 0.2 + (ground_shade - 0.2) * ground
     img = img * (1 - body_mask) + body_shade * body_mask
     rgb = jnp.stack(
         [img, img * (1 - 0.3 * body_mask), img * (1 - 0.6 * body_mask)], -1

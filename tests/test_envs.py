@@ -73,24 +73,31 @@ def test_cartpole_reward_matches_oracle_formula(rng):
         assert abs(got - want) < 1e-5
 
 
-@pytest.mark.parametrize("name", ["cheetah-run", "walker-walk"])
+@pytest.mark.parametrize(
+    "name",
+    ["cheetah-run", "walker-walk", "pendulum-swingup", "acrobot-swingup",
+     "hopper-stand", "hopper-hop"],
+)
 def test_env_reward_formula_matches_oracle(name, rng):
     """Set identical physics state in the oracle and compare reward values
     (reward is a function of state; contact dynamics may diverge but the
-    reward map itself must be dm_control-exact)."""
+    reward map itself must be dm_control-exact). Zero actions are used so
+    control-cost terms are exactly 1 on both sides."""
     suite = pytest.importorskip("dm_control.suite")
     import mujoco
 
     dom, task = name.split("-")
     denv = suite.load(dom, task)
     env = make_env(name)
+    nv = denv.physics.model.nv
+    nu = env.action_dim
     for _ in range(5):
-        q = rng.uniform(-0.3, 0.3, 9)
-        qd = rng.uniform(-2, 2, 9)
+        q = rng.uniform(-0.3, 0.3, nv)
+        qd = rng.uniform(-2, 2, nv)
         denv.reset()
         denv.physics.data.qpos[:] = q
         denv.physics.data.qvel[:] = qd
         mujoco.mj_forward(denv.physics.model._model, denv.physics.data._data)
         want = denv.task.get_reward(denv.physics)
-        got = float(env._reward(jnp.array(q), jnp.array(qd), jnp.zeros(6)))
+        got = float(env._reward(jnp.array(q), jnp.array(qd), jnp.zeros(nu)))
         assert abs(got - want) < 1e-4, f"{name}: {got} vs {want}"

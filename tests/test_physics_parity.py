@@ -17,7 +17,12 @@ from surreal_tpu.envs.physics import model as pmodel
 mujoco = pytest.importorskip("mujoco")
 suite = pytest.importorskip("dm_control.suite")
 
-DOMAINS = [("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk")]
+DOMAINS = [
+    ("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk"),
+    ("pendulum", "swingup"), ("acrobot", "swingup"), ("hopper", "stand"),
+]
+# domains that passively come to rest on the ground under zero control
+REST_DOMAINS = {"cheetah", "walker", "hopper"}
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -32,11 +37,11 @@ def oracle(request):
     dom, task = request.param
     env = suite.load(dom, task)
     pm = pmodel.load(f"surreal_tpu/envs/assets/{dom}.npz")
-    return env, pm
+    return dom, env, pm
 
 
 def test_smooth_dynamics_parity(oracle, rng):
-    env, pm = oracle
+    _, env, pm = oracle
     mj = env.physics.model._model
     d = env.physics.data._data
     for _ in range(5):
@@ -81,9 +86,9 @@ def test_cartpole_trajectory_parity(rng):
 def test_contact_domains_stable_and_resting(oracle):
     """Drop from the default pose with zero control: must come to rest
     (bounded velocity, small penetration) and stay finite."""
-    env, pm = oracle
-    if pm.ncon == 0:
-        pytest.skip("no contacts")
+    dom, env, pm = oracle
+    if pm.ncon == 0 or dom not in REST_DOMAINS:
+        pytest.skip("not a passively-resting contact domain")
     step = engine.make_stepper(pm, n_substeps=1)
     step = jax.jit(step)
     q = jnp.zeros(pm.nv, jnp.float64)

@@ -19,8 +19,14 @@ from surreal_tpu.envs.physics import model as pmodel  # noqa: E402
 ASSETS = os.path.join(os.path.dirname(__file__), "..", "surreal_tpu", "envs", "assets")
 
 
+DOMAINS = [
+    ("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk"),
+    ("pendulum", "swingup"), ("acrobot", "swingup"), ("hopper", "stand"),
+]
+
+
 def main():
-    for domain, task in [("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk")]:
+    for domain, task in DOMAINS:
         env = suite.load(domain, task)
         m = pmodel.from_mujoco(env.physics.model._model)
         path = os.path.join(ASSETS, f"{domain}.npz")
