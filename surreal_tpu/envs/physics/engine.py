@@ -247,9 +247,77 @@ def _contact_kinematics(m: PlanarModel, q, fkd=None):
     return J, depth
 
 
-def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
+def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
+                       solver: str = "jacobi"):
     """Project candidate velocity `v` onto the feasible set of contact and
-    joint-limit constraints via PGS impulses. Returns the corrected velocity."""
+    joint-limit constraints via impulses. Returns the corrected velocity.
+
+    solver='jacobi': build the Delassus operator W = J M⁻¹ Jᵀ over ALL
+    constraint rows and run diag-scaled under-relaxed projected Jacobi —
+    every sweep is one small batched matvec, which is what a vector unit
+    wants (the sequential Gauss-Seidel chain was ~6× of the whole step
+    cost). solver='gs': the original sequential PGS (reference/cross-check).
+    """
+    if solver == "jacobi":
+        return _project_jacobi(m, q, v, M_inv, h, n_iter=max(n_iter, 20))
+    return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
+
+
+def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
+                    relax: float = 0.7):
+    dtype = q.dtype
+    has_limits = bool(np.any(m.limited))
+    nc = m.ncon
+    if nc == 0 and not has_limits:
+        return v
+
+    rows = []
+    targets = []
+    if nc:
+        J, depth = _contact_kinematics(m, q)
+        active = (depth > 0).astype(dtype)
+        mu = jnp.asarray(m.con_friction, dtype)
+        Jn = J[:, 1, :] * active[:, None]
+        Jt = J[:, 0, :] * active[:, None]
+        v_push = jnp.maximum(depth, 0.0) / m.contact_timeconst
+        rows += [Jn, Jt]
+        targets += [v_push, jnp.zeros_like(v_push)]
+    if has_limits:
+        lo = jnp.asarray(m.joint_range[:, 0], dtype)
+        hi = jnp.asarray(m.joint_range[:, 1], dtype)
+        viol_lo = jnp.maximum(lo - q, 0.0)
+        viol_hi = jnp.maximum(q - hi, 0.0)
+        lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
+        Jl = jnp.diag(lim_sign)  # row j = s_j e_j (zero when inactive)
+        lim_push = (viol_lo + viol_hi) / m.limit_timeconst
+        rows.append(Jl)
+        targets.append(lim_push)
+    J_all = jnp.concatenate(rows, 0)  # (C, nv)
+    target = jnp.concatenate(targets, 0)  # (C,)
+
+    MJ = J_all @ M_inv  # (C, nv)
+    W = MJ @ J_all.T  # (C, C) Delassus
+    diagW = jnp.maximum(jnp.diagonal(W), 1e-9)
+    b = J_all @ v - target
+
+    def project(lam):
+        if nc:
+            lam_n = jnp.maximum(lam[:nc], 0.0)
+            bound = mu * lam_n
+            lam_t = jnp.clip(lam[nc : 2 * nc], -bound, bound)
+            rest = jnp.maximum(lam[2 * nc :], 0.0)
+            return jnp.concatenate([lam_n, lam_t, rest])
+        return jnp.maximum(lam, 0.0)
+
+    def sweep(_, lam):
+        resid = W @ lam + b
+        return project(lam - relax * resid / diagW)
+
+    lam = jax.lax.fori_loop(0, n_iter, sweep, jnp.zeros(J_all.shape[0], dtype))
+    return v + MJ.T @ lam
+
+
+def _project_gs(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
     dtype = q.dtype
     has_limits = bool(np.any(m.limited))
     if m.ncon == 0 and not has_limits:
