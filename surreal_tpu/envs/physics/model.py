@@ -58,6 +58,8 @@ class PlanarModel:
     dt: float  # physics timestep
     gravity: float = 9.81
     integrator: str = "euler"  # "euler" (semi-implicit, implicit damping) | "rk4"
+    plane: str = "xz"  # "xz": hinges about ±y, gravity in-plane (locomotion)
+    #                    "xy": hinges about ±z, gravity ⊥ plane (manipulation)
 
     # --- constraint-solver parameters (PGS impulse solver; Baumgarte
     # push-out resolves position error over these time constants, cf.
@@ -129,6 +131,28 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
 
     nb = m.nbody - 1  # drop world
 
+    # Plane detection: hinge axes ±y → "xz" plane (locomotion; gravity
+    # in-plane), hinge axes ±z → "xy" plane (manipulation; gravity ⊥ plane,
+    # so in-plane gravity is zero). The engine's R(θ) convention matches a
+    # +y rotation in (x, z); a +z rotation in (x, y) is its mirror, so xy
+    # hinges carry a NEGATED sign.
+    hinge_axes = [m.jnt_axis[j] for j in range(m.njnt)
+                  if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_HINGE]
+    if hinge_axes and all(abs(a[0]) < 1e-8 and abs(a[1]) < 1e-8 for a in hinge_axes):
+        plane = "xy"
+        cols = [0, 1]
+        normal = 2
+        hinge_sign = lambda ax: -np.sign(ax[normal])
+        gravity = 0.0
+        assert abs(m.opt.gravity[0]) < 1e-8 and abs(m.opt.gravity[1]) < 1e-8
+        contact_bodies = "none"  # the world ground plane is ⊥ to this plane
+    else:
+        plane = "xz"
+        cols = [0, 2]
+        normal = 1
+        hinge_sign = lambda ax: np.sign(ax[normal])
+        gravity = float(-m.opt.gravity[2])
+
     def bid(mj_body):  # mujoco body id -> planar body index
         return mj_body - 1
 
@@ -142,13 +166,13 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         parent.append(bid(m.body_parentid[b]) if m.body_parentid[b] > 0 else -1)
         q = m.body_quat[b]
         assert np.allclose(q, [1, 0, 0, 0]), "rotated body frames unsupported"
-        body_pos[i] = m.body_pos[b][[0, 2]]
+        body_pos[i] = m.body_pos[b][cols]
         mass[i] = m.body_mass[b]
-        com[i] = m.body_ipos[b][[0, 2]]
-        # Iyy in body frame from principal inertia + iquat.
+        com[i] = m.body_ipos[b][cols]
+        # Inertia about the plane normal, in the body frame.
         R = _quat_to_mat(m.body_iquat[b])
         I_body = R @ np.diag(m.body_inertia[b]) @ R.T
-        inertia[i] = I_body[1, 1]
+        inertia[i] = I_body[normal, normal]
 
     dof_body, dof_type = [], []
     nv = m.nv
@@ -160,13 +184,14 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         ax = m.jnt_axis[j]
         if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_SLIDE:
             dof_type.append(SLIDE)
-            assert abs(ax[1]) < 1e-8, f"slide axis out of plane: {ax}"
-            dof_axis[j] = ax[[0, 2]]
+            assert abs(ax[normal]) < 1e-8, f"slide axis out of plane: {ax}"
+            dof_axis[j] = ax[cols]
         elif m.jnt_type[j] == mujoco.mjtJoint.mjJNT_HINGE:
             dof_type.append(HINGE)
-            assert abs(ax[0]) < 1e-8 and abs(ax[2]) < 1e-8, f"hinge axis not ±y: {ax}"
-            dof_axis[j] = np.array([np.sign(ax[1]), 0.0])
-            dof_anchor[j] = m.jnt_pos[j][[0, 2]]
+            in_plane = [ax[c] for c in cols]
+            assert all(abs(a) < 1e-8 for a in in_plane), f"hinge axis in plane: {ax}"
+            dof_axis[j] = np.array([hinge_sign(ax), 0.0])
+            dof_anchor[j] = m.jnt_pos[j][cols]
         else:
             raise AssertionError(f"unsupported joint type {m.jnt_type[j]}")
 
@@ -185,14 +210,14 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         ct, ca = int(m.geom_contype[g]), int(m.geom_conaffinity[g])
         if not ((ct & floor_conaff) or (floor_contype & ca)):
             continue
-        gpos = m.geom_pos[g][[0, 2]]
+        gpos = m.geom_pos[g][cols]
         if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_CAPSULE:
             r, half = float(m.geom_size[g][0]), float(m.geom_size[g][1])
             # Capsule axis = geom-frame local z in the body frame; must lie
-            # in the x-z plane (out-of-plane y component would be 3-D).
+            # in the plane (an out-of-plane component would be 3-D).
             axis3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
-            assert abs(axis3[1]) < 1e-8, f"capsule axis out of plane: {axis3}"
-            d = axis3[[0, 2]] * half
+            assert abs(axis3[normal]) < 1e-8, f"capsule axis out of plane: {axis3}"
+            d = axis3[cols] * half
             pts = [gpos + d, gpos - d]
         elif m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE:
             r = float(m.geom_size[g][0])
@@ -238,8 +263,9 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         con_radius=np.asarray(con_radius),
         con_friction=np.asarray(con_friction),
         dt=float(m.opt.timestep),
-        gravity=float(-m.opt.gravity[2]),
+        gravity=gravity,
         integrator=integrator,
+        plane=plane,
     )
 
 
@@ -254,7 +280,7 @@ _ARRAY_FIELDS = [
 ]
 _TUPLE_FIELDS = ["parent", "dof_body", "dof_type", "act_dof", "con_body"]
 _SCALAR_FIELDS = [
-    "dt", "gravity", "integrator", "contact_timeconst", "limit_timeconst",
+    "dt", "gravity", "integrator", "plane", "contact_timeconst", "limit_timeconst",
 ]
 
 
@@ -272,6 +298,8 @@ def load(path: str) -> PlanarModel:
     kw = {f: z[f] for f in _ARRAY_FIELDS}
     kw.update({f: tuple(int(x) for x in z[f]) for f in _TUPLE_FIELDS})
     for f in _SCALAR_FIELDS:
+        if f not in z:  # fields added after older assets were baked
+            continue
         v = z[f][()]
-        kw[f] = str(v) if f == "integrator" else float(v)
+        kw[f] = str(v) if f in ("integrator", "plane") else float(v)
     return PlanarModel(**kw)

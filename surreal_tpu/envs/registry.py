@@ -40,6 +40,10 @@ def _builtin():
     register("acrobot-swingup_sparse", lambda **kw: AcrobotSwingup(sparse=True, **kw))
     register("hopper-stand", lambda **kw: Hopper(hopping=False, **kw))
     register("hopper-hop", lambda **kw: Hopper(hopping=True, **kw))
+    from surreal_tpu.envs.reacher import Reacher
+
+    register("reacher-easy", lambda **kw: Reacher(target_size=0.05, **kw))
+    register("reacher-hard", lambda **kw: Reacher(target_size=0.015, **kw))
     register("walker-stand", lambda **kw: Walker(move_speed=0.0, **kw))
     register("walker-walk", lambda **kw: Walker(move_speed=1.0, **kw))
     register("walker-run", lambda **kw: Walker(move_speed=8.0, **kw))

@@ -22,6 +22,7 @@ ASSETS = os.path.join(os.path.dirname(__file__), "..", "surreal_tpu", "envs", "a
 DOMAINS = [
     ("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk"),
     ("pendulum", "swingup"), ("acrobot", "swingup"), ("hopper", "stand"),
+    ("reacher", "easy"),
 ]
 
 
