@@ -414,6 +414,7 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     velocity, then q += h v (MuJoCo 'Euler' + constraint-solver semantics)."""
     h = m.dt if h is None else h
     dtype = q.dtype
+    ctrl = jnp.asarray(ctrl, dtype)
     D = jnp.asarray(m.damping, dtype)
     M = mass_matrix(m, q)
     M_inv = jnp.linalg.inv(M)
@@ -430,6 +431,7 @@ def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     cartpole domain), followed by constraint projection (no-op while joint
     limits are inactive, which is the oracle-parity regime)."""
     h = m.dt if h is None else h
+    ctrl = jnp.asarray(ctrl, q.dtype)
 
     def deriv(state):
         qq, vv = state
