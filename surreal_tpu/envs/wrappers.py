@@ -42,12 +42,15 @@ class PixelWrapper:
         frame_stack: int = 3,
         grayscale: bool = True,
         keep_low_dim: bool = False,
+        action_repeat: int = 1,
     ):
+        assert env.episode_steps % action_repeat == 0
         self.env = env
-        self.episode_steps = env.episode_steps
+        self.episode_steps = env.episode_steps // action_repeat
         self.frame_stack = frame_stack
         self.grayscale = grayscale
         self.keep_low_dim = keep_low_dim
+        self.action_repeat = action_repeat
         self._render = make_renderer(env.model, height, width)
         self._channels = (1 if grayscale else 3) * frame_stack
         self._hw = (height, width)
@@ -89,7 +92,22 @@ class PixelWrapper:
         return PixelState(inner=inner, stack=stack), wts
 
     def step(self, state: PixelState, action):
-        inner, ts = self.env.step(state.inner, action)
+        if self.action_repeat == 1:
+            inner, ts = self.env.step(state.inner, action)
+        else:
+            # Repeat the action (standard pixel-control practice, cf. the
+            # reference's wrapper stack); rewards accumulate; the episode
+            # boundary is aligned (episode_steps % action_repeat == 0).
+            def body(carry, _):
+                inner, rew = carry
+                inner, ts = self.env.step(inner, action)
+                return (inner, rew + ts.reward), ts
+
+            (inner, total_rew), tss = jax.lax.scan(
+                body, (state.inner, jnp.zeros(())), None, length=self.action_repeat
+            )
+            ts = jax.tree.map(lambda x: x[-1], tss)
+            ts = dataclasses.replace(ts, reward=total_rew)
         C = self._channels // self.frame_stack
         # Terminal-side frame: rendered from the PRE-reset state. The base
         # env doesn't expose pre-reset q directly, but ts.obs does give the

@@ -34,6 +34,7 @@ class PPOTrainer:
         hidden=(64, 64),
         compute_dtype=jnp.float32,
         pixel_obs: bool = False,
+        pixel_kwargs: dict | None = None,
         use_lstm: bool = False,
         lstm_size: int = 128,
         env_kwargs: dict | None = None,
@@ -46,7 +47,7 @@ class PPOTrainer:
         if pixel_obs:
             from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
 
-            self.env = PixelWrapper(self.env)
+            self.env = PixelWrapper(self.env, **(pixel_kwargs or {}))
             self._flatten = pixel_flatten_obs
             cfg = dataclasses.replace(cfg, use_zfilter=False)  # net scales uint8
         else:
