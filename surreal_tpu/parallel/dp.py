@@ -33,6 +33,54 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def make_sharded_ddpg_step(
+    cfg,
+    actor_apply: Callable,
+    critic_apply: Callable,
+    env_step: Callable,
+    flatten_obs: Callable,
+    mesh: Mesh,
+):
+    """Data-parallel DDPG train step. The replay ring buffer is sharded
+    with the envs (device-LOCAL insert and sampling — the reference's
+    sharded replay servers with hash routing, minus the routing); gradients
+    pmean across shards keep learner params replicated."""
+    from surreal_tpu.algos import ddpg
+
+    def step(state, replay, env_state, obs, ou_state, sigma, ep_ret, key):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard_id)
+        out = ddpg.train_step(
+            cfg, actor_apply, critic_apply, env_step, flatten_obs,
+            state, replay, env_state, obs, ou_state, sigma, ep_ret, key,
+            axis_name=DATA_AXIS,
+        )
+        state, replay, env_state, obs, ou_state, ep_ret, metrics = out
+        metrics = {
+            k: (jax.lax.psum(v, DATA_AXIS) if k in ("episodes_done", "episode_return_sum")
+                else jax.lax.pmean(v, DATA_AXIS))
+            for k, v in metrics.items()
+        }
+        return state, replay, env_state, obs, ou_state, ep_ret, metrics
+
+    def build(replay_example):
+        # replay arrays are (T_cap, B, ...): shard on axis 1 (the env axis)
+        from surreal_tpu.data.replay import ReplayState
+
+        data_spec = jax.tree.map(lambda _: P(None, DATA_AXIS), replay_example.data)
+        rspec = ReplayState(data=data_spec, total=P())
+        sharded = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            check_rep=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1, 2, 3, 4, 6))
+
+    return build
+
+
 def make_sharded_ppo_step(
     cfg: ppo.PPOConfig,
     apply_fn: Callable,
