@@ -30,6 +30,7 @@ from surreal_tpu.models.z_filter import (
     zfilter_update,
 )
 from surreal_tpu.ops.returns import gae
+from surreal_tpu.utils import guards
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +268,7 @@ def update(
             lambda p: _loss_fn(cfg, apply_fn, p, mb, state.kl_beta), has_aux=True
         )(params)
         grads = pmean(grads)
+        guards.assert_finite(optax.global_norm(grads), "ppo.update.grad_norm")
         updates, opt_state = opt.update(grads, opt_state, params)
         lr = cfg.lr * state.lr_scale
         updates = jax.tree.map(lambda u: lr * u, updates)

@@ -60,14 +60,19 @@ def gae(
 
     Returns (advantages, value_targets) with value_targets = A + V.
     """
+    from surreal_tpu.utils import guards
+
     if backend == "pallas":
         from surreal_tpu.ops.pallas_gae import gae_pallas
 
-        return gae_pallas(rewards, values, next_values, discounts, dones, gamma, lam)
+        adv, vtg = gae_pallas(rewards, values, next_values, discounts, dones, gamma, lam)
+        guards.assert_finite(adv, "ops.gae[pallas].advantages")
+        return adv, vtg
     dones_f = dones.astype(values.dtype)
     delta = rewards + gamma * discounts * next_values - values
     coef = gamma * lam * discounts * (1.0 - dones_f)
     adv = discounted_reverse_scan(delta, coef, associative=associative)
+    guards.assert_finite(adv, "ops.gae.advantages")
     return adv, adv + values
 
 

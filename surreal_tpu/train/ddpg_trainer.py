@@ -28,6 +28,7 @@ class DDPGTrainer:
         critic_hidden=(400, 300),
         compute_dtype=jnp.float32,
         env_kwargs: dict | None = None,
+        debug_checks: bool = False,
     ):
         self.cfg = cfg or ddpg.DDPGConfig()
         self.env = make_env(env_name, **(env_kwargs or {}))
@@ -54,7 +55,13 @@ class DDPGTrainer:
         self.ou_state = jnp.zeros((num_envs, act_dim))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
 
-        self._train_step = jax.jit(
+        if debug_checks:  # sanitizer mode: checkify NaN/Inf + kernel hooks
+            from surreal_tpu.utils import guards
+
+            wrap = guards.jit_checked
+        else:
+            wrap = jax.jit
+        self._train_step = wrap(
             partial(
                 ddpg.train_step,
                 self.cfg,

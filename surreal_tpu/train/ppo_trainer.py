@@ -38,6 +38,7 @@ class PPOTrainer:
         use_lstm: bool = False,
         lstm_size: int = 128,
         env_kwargs: dict | None = None,
+        debug_checks: bool = False,
     ):
         cfg = cfg or ppo.PPOConfig()
         env_kwargs = dict(env_kwargs or {})
@@ -81,16 +82,22 @@ class PPOTrainer:
         self.state = ppo.init_state(self.cfg, params, max(obs_dim, 1))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
 
+        if debug_checks:  # sanitizer mode: checkify NaN/Inf + kernel hooks
+            from surreal_tpu.utils import guards
+
+            wrap = guards.jit_checked
+        else:
+            wrap = jax.jit
         if use_lstm:
             from surreal_tpu.algos import ppo_lstm
 
-            self._train_step = jax.jit(
+            self._train_step = wrap(
                 partial(
                     ppo_lstm.train_step, self.cfg, self.net.apply, step_fn, self._flatten
                 )
             )
         else:
-            self._train_step = jax.jit(
+            self._train_step = wrap(
                 partial(
                     ppo.train_step, self.cfg, self.net.apply, step_fn, self._flatten
                 )
