@@ -63,24 +63,27 @@ def fk_dofs(m: PlanarModel, q: jax.Array):
     daxis: list = [None] * m.nv
     zero2 = jnp.zeros((2,), dtype)
     body_dofs = m.body_dofs
+    frame = m.body_angles  # static per-body frame rotations (usually 0)
+    ref = m.dof_refs  # static joint reference values (MuJoCo jnt `ref`)
     for b in range(m.nb):
         par = m.parent[b]
         if par < 0:
             p = jnp.asarray(m.body_pos[b], dtype)
-            a = jnp.zeros((), dtype)
+            a = jnp.asarray(frame[b], dtype)
         else:
             p = pos[par] + _rot(ang[par], jnp.asarray(m.body_pos[b], dtype))
-            a = ang[par]
+            a = ang[par] + frame[b] if frame[b] else ang[par]
         for j in body_dofs[b]:
+            qj = q[j] - ref[j] if ref[j] else q[j]
             if m.dof_type[j] == SLIDE:
                 ax_w = _rot(a, jnp.asarray(m.dof_axis[j], dtype))
-                p = p + ax_w * q[j]
+                p = p + ax_w * qj
                 danchor[j] = zero2
                 daxis[j] = ax_w
             else:  # HINGE about anchor
                 anchor = jnp.asarray(m.dof_anchor[j], dtype)
                 w = p + _rot(a, anchor)
-                a = a + jnp.asarray(m.dof_axis[j][0], dtype) * q[j]
+                a = a + jnp.asarray(m.dof_axis[j][0], dtype) * qj
                 p = w - _rot(a, anchor)
                 danchor[j] = w
                 daxis[j] = zero2
@@ -247,6 +250,102 @@ def _contact_kinematics(m: PlanarModel, q, fkd=None):
     return J, depth
 
 
+def _seg_seg_closest(p1, q1, p2, q2, eps=1e-12):
+    """Closest points between planar segments [p1,q1] and [p2,q2], batched
+    over the leading axis (Ericson, Real-Time Collision Detection §5.1.9,
+    branchless). Degenerate segments (points/spheres) handled."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0)
+    t_raw = (b * s + f) / jnp.maximum(e, eps)
+    t = jnp.clip(t_raw, 0.0, 1.0)
+    s_fix = jnp.clip((b * t - c) / jnp.maximum(a, eps), 0.0, 1.0)
+    s = jnp.where((t_raw < 0.0) | (t_raw > 1.0), s_fix, s)
+    # degenerate cases: one or both segments are points
+    s = jnp.where(a <= eps, 0.0, s)
+    t = jnp.where(a <= eps, jnp.clip(f / jnp.maximum(e, eps), 0.0, 1.0), t)
+    s = jnp.where(e <= eps, jnp.clip(-c / jnp.maximum(a, eps), 0.0, 1.0), s)
+    t = jnp.where(e <= eps, 0.0, t)
+    return p1 + s[..., None] * d1, p2 + t[..., None] * d2
+
+
+def _pair_kinematics(m: PlanarModel, q, fkd=None):
+    """Body-body capsule/sphere contact rows.
+
+    Returns (Jn (npair, nv), Jt (npair, nv), depth (npair,), mu (npair,)).
+    Jn is the SEPARATION rate (positive impulse pushes the geoms apart);
+    Jt the tangential relative velocity; depth > 0 means penetrating.
+    """
+    dtype = q.dtype
+    fkd = fk_dofs(m, q) if fkd is None else fkd
+    pos, ang, _, _ = fkd
+    gb = np.asarray(m.geom_body)
+    p0_w = pos[gb] + _rot(ang[gb], jnp.asarray(m.geom_p0, dtype))
+    p1_w = pos[gb] + _rot(ang[gb], jnp.asarray(m.geom_p1, dtype))
+    ia = np.asarray(m.pair_geoms[:, 0])
+    ib = np.asarray(m.pair_geoms[:, 1])
+    c_a, c_b = _seg_seg_closest(p0_w[ia], p1_w[ia], p0_w[ib], p1_w[ib])
+    delta = c_b - c_a
+    dist = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(dist, 1e-9)[:, None]  # a -> b
+    ra = jnp.asarray(m.geom_radius[ia], dtype)
+    rb = jnp.asarray(m.geom_radius[ib], dtype)
+    depth = (ra + rb) - dist
+    # contact material points on each surface
+    x_a = c_a + n * ra[:, None]
+    x_b = c_b - n * rb[:, None]
+    ba, bb = gb[ia], gb[ib]
+    u_a = _rot(-ang[ba], x_a - pos[ba])
+    u_b = _rot(-ang[bb], x_b - pos[bb])
+    _, Ja, _, _ = point_jacobians(m, q, u_a, ba, fkd=fkd)  # (P, 2, nv)
+    _, Jb, _, _ = point_jacobians(m, q, u_b, bb, fkd=fkd)
+    J_rel = Jb - Ja
+    Jn = jnp.einsum("pc,pcv->pv", n, J_rel)
+    Jt = jnp.einsum("pc,pcv->pv", _perp(n), J_rel)
+    mu = jnp.maximum(
+        jnp.asarray(m.geom_friction[ia], dtype), jnp.asarray(m.geom_friction[ib], dtype)
+    )  # MuJoCo combines pair friction with the elementwise max
+    return Jn, Jt, depth, mu
+
+
+def _rope_kinematics(m: PlanarModel, q, fkd=None):
+    """Tendon-limit (max-length rope) rows.
+
+    Returns (J (nrope, nv), stretch (nrope,)). J is MINUS the extension
+    rate, so a positive impulse shortens the rope; stretch > 0 means the
+    limit is violated.
+    """
+    dtype = q.dtype
+    fkd = fk_dofs(m, q) if fkd is None else fkd
+    pos, ang, _, _ = fkd
+    xs, Js = [], []
+    for side in (0, 1):
+        b = np.asarray(m.rope_body[:, side])
+        local = jnp.asarray(m.rope_pos[:, side], dtype)
+        world_mask = b < 0
+        b_safe = np.maximum(b, 0)
+        x_body = pos[b_safe] + _rot(ang[b_safe], local)
+        x = jnp.where(jnp.asarray(world_mask)[:, None], local, x_body)
+        _, J, _, _ = point_jacobians(m, q, local, b_safe, fkd=fkd)
+        J = J * (1.0 - jnp.asarray(world_mask, dtype))[:, None, None]
+        xs.append(x)
+        Js.append(J)
+    d = xs[1] - xs[0]
+    length = jnp.linalg.norm(d, axis=-1)
+    direction = d / jnp.maximum(length, 1e-9)[:, None]
+    J_rel = Js[1] - Js[0]
+    J = -jnp.einsum("rc,rcv->rv", direction, J_rel)
+    stretch = length - jnp.asarray(m.rope_max, dtype)
+    return J, stretch
+
+
 def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
                        solver: str = "jacobi"):
     """Project candidate velocity `v` onto the feasible set of contact and
@@ -256,42 +355,83 @@ def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
     constraint rows and run diag-scaled under-relaxed projected Jacobi —
     every sweep is one small batched matvec, which is what a vector unit
     wants (the sequential Gauss-Seidel chain was ~6× of the whole step
-    cost). solver='gs': the original sequential PGS (reference/cross-check).
+    cost). solver='gs': the original sequential PGS (reference/cross-check;
+    ground contacts + limits only).
     """
-    if solver == "jacobi":
+    if solver == "jacobi" or m.npair or m.nrope or m.has_dof_friction:
         return _project_jacobi(m, q, v, M_inv, h, n_iter=max(n_iter, 20))
     return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
 
 
+def has_constraints(m: PlanarModel) -> bool:
+    return bool(
+        m.ncon or m.npair or m.nrope or m.has_dof_friction or np.any(m.limited)
+    )
+
+
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
                     relax: float = 0.7):
+    """Row layout: [normals (ground+pair) | tangents (ground+pair, boxed by
+    μ·λn) | dof-friction (boxed by frictionloss·h) | nonneg (ropes, limits)].
+    """
     dtype = q.dtype
     has_limits = bool(np.any(m.limited))
-    nc = m.ncon
-    if nc == 0 and not has_limits:
+    nc, npair, nrope = m.ncon, m.npair, m.nrope
+    has_fric = m.has_dof_friction
+    if not (nc or npair or nrope or has_fric or has_limits):
         return v
 
-    rows = []
-    targets = []
+    fkd = fk_dofs(m, q) if (nc or npair or nrope) else None
+    n_rows, n_targets, mus = [], [], []
+    t_rows = []
     if nc:
-        J, depth = _contact_kinematics(m, q)
+        J, depth = _contact_kinematics(m, q, fkd=fkd)
         active = (depth > 0).astype(dtype)
-        mu = jnp.asarray(m.con_friction, dtype)
-        Jn = J[:, 1, :] * active[:, None]
-        Jt = J[:, 0, :] * active[:, None]
-        v_push = jnp.maximum(depth, 0.0) / m.contact_timeconst
-        rows += [Jn, Jt]
-        targets += [v_push, jnp.zeros_like(v_push)]
+        n_rows.append(J[:, 1, :] * active[:, None])
+        t_rows.append(J[:, 0, :] * active[:, None])
+        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        mus.append(jnp.asarray(m.con_friction, dtype))
+    if npair:
+        Jn, Jt, depth, mu = _pair_kinematics(m, q, fkd=fkd)
+        active = (depth > 0).astype(dtype)
+        n_rows.append(Jn * active[:, None])
+        t_rows.append(Jt * active[:, None])
+        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        mus.append(mu)
+
+    rows, targets = [], []
+    if n_rows:
+        rows += n_rows + t_rows
+        targets += n_targets + [jnp.zeros_like(t) for t in n_targets]
+        mu_all = jnp.concatenate(mus)
+    N = nc + npair
+
+    if has_fric:
+        fric_dofs = np.flatnonzero(np.asarray(m.frictionloss) > 0)
+        Jf = jnp.zeros((len(fric_dofs), m.nv), dtype).at[
+            np.arange(len(fric_dofs)), fric_dofs
+        ].set(1.0)
+        fric_bound = jnp.asarray(m.frictionloss[fric_dofs] * h, dtype)
+        rows.append(Jf)
+        targets.append(jnp.zeros(len(fric_dofs), dtype))
+        F = len(fric_dofs)
+    else:
+        F = 0
+
+    if nrope:
+        Jr, stretch = _rope_kinematics(m, q, fkd=fkd)
+        active = (stretch > 0).astype(dtype)
+        rows.append(Jr * active[:, None])
+        targets.append(jnp.maximum(stretch, 0.0) / m.contact_timeconst)
     if has_limits:
         lo = jnp.asarray(m.joint_range[:, 0], dtype)
         hi = jnp.asarray(m.joint_range[:, 1], dtype)
         viol_lo = jnp.maximum(lo - q, 0.0)
         viol_hi = jnp.maximum(q - hi, 0.0)
         lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
-        Jl = jnp.diag(lim_sign)  # row j = s_j e_j (zero when inactive)
-        lim_push = (viol_lo + viol_hi) / m.limit_timeconst
-        rows.append(Jl)
-        targets.append(lim_push)
+        rows.append(jnp.diag(lim_sign))  # row j = s_j e_j (zero when inactive)
+        targets.append((viol_lo + viol_hi) / m.limit_timeconst)
+
     J_all = jnp.concatenate(rows, 0)  # (C, nv)
     target = jnp.concatenate(targets, 0)  # (C,)
 
@@ -301,13 +441,15 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     b = J_all @ v - target
 
     def project(lam):
-        if nc:
-            lam_n = jnp.maximum(lam[:nc], 0.0)
-            bound = mu * lam_n
-            lam_t = jnp.clip(lam[nc : 2 * nc], -bound, bound)
-            rest = jnp.maximum(lam[2 * nc :], 0.0)
-            return jnp.concatenate([lam_n, lam_t, rest])
-        return jnp.maximum(lam, 0.0)
+        parts = []
+        if N:
+            lam_n = jnp.maximum(lam[:N], 0.0)
+            bound = mu_all * lam_n
+            parts += [lam_n, jnp.clip(lam[N : 2 * N], -bound, bound)]
+        if F:
+            parts.append(jnp.clip(lam[2 * N : 2 * N + F], -fric_bound, fric_bound))
+        parts.append(jnp.maximum(lam[2 * N + F :], 0.0))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def sweep(_, lam):
         resid = W @ lam + b
@@ -383,8 +525,11 @@ def passive_spring_forces(m: PlanarModel, q) -> jax.Array:
 
 
 def actuation(m: PlanarModel, ctrl) -> jax.Array:
-    """Generalized forces from motor actuators (ctrl clipped to [-1, 1])."""
+    """Generalized forces from motor actuators (ctrl clipped to [-1, 1]).
+    Fixed-tendon transmissions use the general moment matrix."""
     ctrl = jnp.clip(ctrl, -1.0, 1.0)
+    if m.act_moment is not None:
+        return jnp.asarray(m.act_moment, ctrl.dtype).T @ ctrl
     tau = jnp.zeros(m.nv, ctrl.dtype)
     return tau.at[np.asarray(m.act_dof)].add(jnp.asarray(m.gear, ctrl.dtype) * ctrl)
 
@@ -443,7 +588,7 @@ def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     k4 = deriv((q + h * k3[0], qd + h * k3[1]))
     q_new = q + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
     qd_new = qd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-    if m.ncon or bool(np.any(m.limited)):
+    if has_constraints(m):
         M_inv = jnp.linalg.inv(mass_matrix(m, q_new))
         qd_new = constraint_project(m, q_new, qd_new, M_inv, h)
     return q_new, qd_new

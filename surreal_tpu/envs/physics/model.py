@@ -48,7 +48,7 @@ class PlanarModel:
     act_dof: tuple[int, ...]
     gear: np.ndarray  # (nu,)
 
-    # --- contact candidate points (ncon entries) ---
+    # --- contact candidate points vs ground plane (ncon entries) ---
     con_body: tuple[int, ...]  # owning body index
     con_pos: np.ndarray  # (ncon, 2) sphere center in body frame
     con_radius: np.ndarray  # (ncon,)
@@ -67,6 +67,38 @@ class PlanarModel:
     contact_timeconst: float = 0.02  # MuJoCo default solref timeconst
     limit_timeconst: float = 0.02
 
+    # --- body frame rotations (nb,) — planar angle offsets from body_quat
+    # (manipulation models rotate finger frames); None ⇒ all zero ---
+    body_angle: np.ndarray | None = None
+
+    # --- capsule/sphere geoms for body-body collision (ng entries;
+    # sphere = segment with p0 == p1). Only geoms participating in at
+    # least one candidate pair are kept. None ⇒ no pair collisions ---
+    geom_body: tuple[int, ...] = ()
+    geom_p0: np.ndarray | None = None  # (ng, 2) segment start, body frame
+    geom_p1: np.ndarray | None = None  # (ng, 2) segment end, body frame
+    geom_radius: np.ndarray | None = None  # (ng,)
+    geom_friction: np.ndarray | None = None  # (ng,)
+    pair_geoms: np.ndarray | None = None  # (npair, 2) int geom indices
+
+    # --- rope / tendon-limit constraints (spatial site-site tendons with a
+    # max-length limit, e.g. ball_in_cup's string). body −1 = world ---
+    rope_body: np.ndarray | None = None  # (nrope, 2) int
+    rope_pos: np.ndarray | None = None  # (nrope, 2, 2) attachment, body frame
+    rope_max: np.ndarray | None = None  # (nrope,) max length
+
+    # --- dof dry friction (MuJoCo frictionloss): |tau_f| <= frictionloss ---
+    frictionloss: np.ndarray | None = None  # (nv,)
+
+    # --- joint reference values (MuJoCo jnt `ref`): the joint transform in
+    # FK is (q - ref); ranges/springrefs stay in q coordinates ---
+    dof_ref: np.ndarray | None = None  # (nv,)
+
+    # --- general actuation moment matrix (nu, nv): tau = act_momentᵀ ctrl,
+    # gear folded in. Covers fixed-tendon transmissions (point_mass,
+    # manipulator grasp). None ⇒ use (act_dof, gear) scatter ---
+    act_moment: np.ndarray | None = None
+
     @property
     def nb(self) -> int:
         return len(self.parent)
@@ -82,6 +114,26 @@ class PlanarModel:
     @property
     def ncon(self) -> int:
         return len(self.con_body)
+
+    @property
+    def npair(self) -> int:
+        return 0 if self.pair_geoms is None else len(self.pair_geoms)
+
+    @property
+    def nrope(self) -> int:
+        return 0 if self.rope_body is None else len(self.rope_body)
+
+    @property
+    def has_dof_friction(self) -> bool:
+        return self.frictionloss is not None and bool(np.any(self.frictionloss > 0))
+
+    @property
+    def body_angles(self) -> np.ndarray:
+        return np.zeros(self.nb) if self.body_angle is None else self.body_angle
+
+    @property
+    def dof_refs(self) -> np.ndarray:
+        return np.zeros(self.nv) if self.dof_ref is None else self.dof_ref
 
     @property
     def total_mass(self) -> float:
@@ -118,7 +170,9 @@ def _quat_to_mat(q):
     )
 
 
-def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
+def from_mujoco(
+    m, contact_bodies: str = "all", pair_collisions: bool = False
+) -> PlanarModel:
     """Extract a PlanarModel from a compiled `mujoco.MjModel`.
 
     Only used offline (tools/bake_assets.py) and in parity tests — the
@@ -126,6 +180,14 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
 
     Asserts the model really is planar (slide axes in the x-z plane, hinge
     axes ±y, no out-of-plane body offsets that matter, single-dof joints).
+
+    `pair_collisions=True` additionally extracts body-body capsule/sphere
+    contact pairs (MuJoCo's contype/conaffinity + parent-child filter).
+    Off by default: the locomotion domains (cheetah, walker, hopper)
+    nominally allow self-collision pairs but never hit them in practice
+    (verified: 0 body-body contacts over long random-action MuJoCo
+    rollouts), so the extra constraint rows would only slow the hot path.
+    Manipulation domains (ball_in_cup, finger, manipulator) require them.
     """
     import mujoco  # local import: optional dependency
 
@@ -138,7 +200,14 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
     # hinges carry a NEGATED sign.
     hinge_axes = [m.jnt_axis[j] for j in range(m.njnt)
                   if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_HINGE]
-    if hinge_axes and all(abs(a[0]) < 1e-8 and abs(a[1]) < 1e-8 for a in hinge_axes):
+    slide_axes = [m.jnt_axis[j] for j in range(m.njnt)
+                  if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_SLIDE]
+    # xy plane: all hinges about ±z; or (hinge-less, e.g. point_mass) any
+    # slide along y — impossible in the xz plane.
+    xy_by_slides = not hinge_axes and any(abs(a[1]) > 1e-8 for a in slide_axes)
+    if xy_by_slides or (
+        hinge_axes and all(abs(a[0]) < 1e-8 and abs(a[1]) < 1e-8 for a in hinge_axes)
+    ):
         plane = "xy"
         cols = [0, 1]
         normal = 2
@@ -152,24 +221,37 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         normal = 1
         hinge_sign = lambda ax: np.sign(ax[normal])
         gravity = float(-m.opt.gravity[2])
+        if m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_GRAVITY:
+            gravity = 0.0
 
     def bid(mj_body):  # mujoco body id -> planar body index
         return mj_body - 1
 
+    def planar_angle(quat):
+        """In-plane rotation angle of a quaternion about the plane normal,
+        in the engine's R(θ) convention (mirrored for the xy plane)."""
+        w, qx, qy, qz = quat
+        comp = {0: qx, 1: qy, 2: qz}[normal]
+        others = [v for ax, v in ((0, qx), (1, qy), (2, qz)) if ax != normal]
+        assert all(abs(o) < 1e-8 for o in others), f"non-planar body quat {quat}"
+        ang = 2.0 * float(np.arctan2(comp, w))
+        return ang if normal == 1 else -ang
+
     parent = []
     body_pos = np.zeros((nb, 2))
+    body_angle = np.zeros(nb)
     mass = np.zeros(nb)
     com = np.zeros((nb, 2))
     inertia = np.zeros(nb)
     for b in range(1, m.nbody):
         i = bid(b)
         parent.append(bid(m.body_parentid[b]) if m.body_parentid[b] > 0 else -1)
-        q = m.body_quat[b]
-        assert np.allclose(q, [1, 0, 0, 0]), "rotated body frames unsupported"
+        body_angle[i] = planar_angle(m.body_quat[b])
         body_pos[i] = m.body_pos[b][cols]
         mass[i] = m.body_mass[b]
         com[i] = m.body_ipos[b][cols]
-        # Inertia about the plane normal, in the body frame.
+        # Inertia about the plane normal, in the body frame (invariant to
+        # the in-plane body_angle rotation).
         R = _quat_to_mat(m.body_iquat[b])
         I_body = R @ np.diag(m.body_inertia[b]) @ R.T
         inertia[i] = I_body[normal, normal]
@@ -231,10 +313,101 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
             con_radius.append(r)
             con_friction.append(float(m.geom_friction[g][0]))
 
+    # --- body-body collision geoms (capsules/spheres) + candidate pairs ---
+    # MuJoCo's default filter: different bodies, not parent-child, and
+    # (contype_a & conaffinity_b) | (contype_b & conaffinity_a).
+    geoms = []  # (body, p0, p1, radius, friction, contype, conaffinity)
+    for g in range(m.ngeom if pair_collisions else 0):
+        b = m.geom_bodyid[g]
+        if b == 0 or contact_disabled:
+            continue
+        ct, ca = int(m.geom_contype[g]), int(m.geom_conaffinity[g])
+        if ct == 0 and ca == 0:
+            continue
+        gpos = m.geom_pos[g][cols]
+        if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_CAPSULE:
+            r, half = float(m.geom_size[g][0]), float(m.geom_size[g][1])
+            axis3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
+            assert abs(axis3[normal]) < 1e-8, f"capsule axis out of plane: {axis3}"
+            d = axis3[cols] * half
+            p0, p1 = gpos + d, gpos - d
+        elif m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE:
+            r = float(m.geom_size[g][0])
+            p0 = p1 = gpos
+        else:
+            continue
+        geoms.append((bid(b), p0, p1, r, float(m.geom_friction[g][0]), ct, ca))
+
+    def _is_parent_child(a: int, b: int) -> bool:
+        pa = parent[a] if a >= 0 else -2
+        pb = parent[b] if b >= 0 else -2
+        return pa == b or pb == a
+
+    raw_pairs = []
+    for i in range(len(geoms)):
+        for j in range(i + 1, len(geoms)):
+            ba, bb = geoms[i][0], geoms[j][0]
+            if ba == bb or _is_parent_child(ba, bb):
+                continue
+            cti, cai = geoms[i][5], geoms[i][6]
+            ctj, caj = geoms[j][5], geoms[j][6]
+            if (cti & caj) or (ctj & cai):
+                raw_pairs.append((i, j))
+    used = sorted({g for p in raw_pairs for g in p})
+    remap = {g: k for k, g in enumerate(used)}
+    geom_body = tuple(geoms[g][0] for g in used)
+    geom_p0 = np.asarray([geoms[g][1] for g in used]).reshape(-1, 2)
+    geom_p1 = np.asarray([geoms[g][2] for g in used]).reshape(-1, 2)
+    geom_radius = np.asarray([geoms[g][3] for g in used])
+    geom_friction = np.asarray([geoms[g][4] for g in used])
+    pair_geoms = np.asarray([(remap[a], remap[b]) for a, b in raw_pairs], np.int64)
+
+    # --- rope constraints: limited spatial site-site tendons ---
+    rope_body, rope_pos, rope_max = [], [], []
+    for t in range(m.ntendon):
+        if not m.tendon_limited[t]:
+            continue
+        adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+        wraps = [(int(m.wrap_type[w]), int(m.wrap_objid[w]))
+                 for w in range(adr, adr + num)]
+        if all(wt == mujoco.mjtWrap.mjWRAP_SITE for wt, _ in wraps) and num == 2:
+            sids = [objid for _, objid in wraps]
+            bodies, poses = [], []
+            for s in sids:
+                sb = int(m.site_bodyid[s])
+                bodies.append(bid(sb) if sb > 0 else -1)
+                poses.append(m.site_pos[s][cols])
+            rope_body.append(bodies)
+            rope_pos.append(poses)
+            rope_max.append(float(m.tendon_range[t, 1]))
+        else:
+            raise AssertionError(f"unsupported limited tendon {t}: {wraps}")
+
+    # --- actuators: joint or fixed-tendon transmission -> moment matrix ---
     act_dof, gear = [], []
+    act_moment = np.zeros((m.nu, nv))
+    needs_moment = False
     for a in range(m.nu):
-        act_dof.append(int(m.actuator_trnid[a, 0]))
-        gear.append(float(m.actuator_gear[a, 0]))
+        trntype = int(m.actuator_trntype[a])
+        g = float(m.actuator_gear[a, 0])
+        tid = int(m.actuator_trnid[a, 0])
+        if trntype == int(mujoco.mjtTrn.mjTRN_JOINT):
+            act_dof.append(tid)
+            gear.append(g)
+            act_moment[a, tid] = g
+        elif trntype == int(mujoco.mjtTrn.mjTRN_TENDON):
+            assert m.tendon_num[tid] >= 1
+            adr, num = int(m.tendon_adr[tid]), int(m.tendon_num[tid])
+            for w in range(adr, adr + num):
+                assert int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT), (
+                    "only fixed tendons may drive actuators"
+                )
+                act_moment[a, int(m.wrap_objid[w])] = g * float(m.wrap_prm[w])
+            act_dof.append(int(m.wrap_objid[adr]))  # placeholder for legacy path
+            gear.append(g)
+            needs_moment = True
+        else:
+            raise AssertionError(f"unsupported actuator transmission {trntype}")
 
     integrator = (
         "rk4" if m.opt.integrator == mujoco.mjtIntegrator.mjINT_RK4 else "euler"
@@ -266,6 +439,21 @@ def from_mujoco(m, contact_bodies: str = "all") -> PlanarModel:
         gravity=gravity,
         integrator=integrator,
         plane=plane,
+        body_angle=body_angle if np.any(body_angle != 0) else None,
+        geom_body=geom_body if raw_pairs else (),
+        geom_p0=geom_p0 if raw_pairs else None,
+        geom_p1=geom_p1 if raw_pairs else None,
+        geom_radius=geom_radius if raw_pairs else None,
+        geom_friction=geom_friction if raw_pairs else None,
+        pair_geoms=pair_geoms if raw_pairs else None,
+        rope_body=np.asarray(rope_body, np.int64) if rope_body else None,
+        rope_pos=np.asarray(rope_pos) if rope_pos else None,
+        rope_max=np.asarray(rope_max) if rope_max else None,
+        frictionloss=(
+            m.dof_frictionloss.copy() if np.any(m.dof_frictionloss > 0) else None
+        ),
+        dof_ref=m.qpos0.copy().reshape(-1) if np.any(m.qpos0 != 0) else None,
+        act_moment=act_moment if needs_moment else None,
     )
 
 
@@ -278,7 +466,14 @@ _ARRAY_FIELDS = [
     "damping", "armature", "stiffness", "springref", "limited", "joint_range",
     "gear", "con_pos", "con_radius", "con_friction",
 ]
+# Added after the first assets were baked; may be None (absent in old .npz).
+_OPT_ARRAY_FIELDS = [
+    "body_angle", "geom_p0", "geom_p1", "geom_radius", "geom_friction",
+    "pair_geoms", "rope_body", "rope_pos", "rope_max", "frictionloss",
+    "act_moment", "dof_ref",
+]
 _TUPLE_FIELDS = ["parent", "dof_body", "dof_type", "act_dof", "con_body"]
+_OPT_TUPLE_FIELDS = ["geom_body"]
 _SCALAR_FIELDS = [
     "dt", "gravity", "integrator", "plane", "contact_timeconst", "limit_timeconst",
 ]
@@ -286,8 +481,16 @@ _SCALAR_FIELDS = [
 
 def save(model: PlanarModel, path: str) -> None:
     data = {f: getattr(model, f) for f in _ARRAY_FIELDS}
+    for f in _OPT_ARRAY_FIELDS:
+        v = getattr(model, f)
+        if v is not None:
+            data[f] = v
     for f in _TUPLE_FIELDS:
         data[f] = np.asarray(getattr(model, f), dtype=np.int64)
+    for f in _OPT_TUPLE_FIELDS:
+        v = getattr(model, f)
+        if v:
+            data[f] = np.asarray(v, dtype=np.int64)
     for f in _SCALAR_FIELDS:
         data[f] = np.asarray(getattr(model, f))
     np.savez(path, **data)
@@ -296,7 +499,9 @@ def save(model: PlanarModel, path: str) -> None:
 def load(path: str) -> PlanarModel:
     z = np.load(path, allow_pickle=False)
     kw = {f: z[f] for f in _ARRAY_FIELDS}
+    kw.update({f: z[f] for f in _OPT_ARRAY_FIELDS if f in z})
     kw.update({f: tuple(int(x) for x in z[f]) for f in _TUPLE_FIELDS})
+    kw.update({f: tuple(int(x) for x in z[f]) for f in _OPT_TUPLE_FIELDS if f in z})
     for f in _SCALAR_FIELDS:
         if f not in z:  # fields added after older assets were baked
             continue
