@@ -63,8 +63,9 @@ def fk_dofs(m: PlanarModel, q: jax.Array):
     daxis: list = [None] * m.nv
     zero2 = jnp.zeros((2,), dtype)
     body_dofs = m.body_dofs
-    frame = m.body_angles  # static per-body frame rotations (usually 0)
-    ref = m.dof_refs  # static joint reference values (MuJoCo jnt `ref`)
+    # static offsets as Python floats (weak-typed: no f32->f64 promotion)
+    frame = [float(x) for x in m.body_angles]
+    ref = [float(x) for x in m.dof_refs]
     for b in range(m.nb):
         par = m.parent[b]
         if par < 0:
@@ -363,6 +364,14 @@ def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
     return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
 
 
+def constraint_project_impulses(m: PlanarModel, q, v, M_inv, h: float,
+                                n_iter: int = 20):
+    """Like `constraint_project` (jacobi path) but also returns the normal
+    contact impulses: dict(ground (ncon,), pair (npair,)) — the data behind
+    MuJoCo-style touch sensors."""
+    return _project_jacobi(m, q, v, M_inv, h, n_iter=n_iter, return_impulses=True)
+
+
 def has_constraints(m: PlanarModel) -> bool:
     return bool(
         m.ncon or m.npair or m.nrope or m.has_dof_friction or np.any(m.limited)
@@ -370,7 +379,7 @@ def has_constraints(m: PlanarModel) -> bool:
 
 
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
-                    relax: float = 0.7):
+                    relax: float = 0.7, return_impulses: bool = False):
     """Row layout: [normals (ground+pair) | tangents (ground+pair, boxed by
     μ·λn) | dof-friction (boxed by frictionloss·h) | nonneg (ropes, limits)].
     """
@@ -379,6 +388,8 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     nc, npair, nrope = m.ncon, m.npair, m.nrope
     has_fric = m.has_dof_friction
     if not (nc or npair or nrope or has_fric or has_limits):
+        if return_impulses:
+            return v, {"ground": jnp.zeros(0, dtype), "pair": jnp.zeros(0, dtype)}
         return v
 
     fkd = fk_dofs(m, q) if (nc or npair or nrope) else None
@@ -456,7 +467,10 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         return project(lam - relax * resid / diagW)
 
     lam = jax.lax.fori_loop(0, n_iter, sweep, jnp.zeros(J_all.shape[0], dtype))
-    return v + MJ.T @ lam
+    v_new = v + MJ.T @ lam
+    if return_impulses:
+        return v_new, {"ground": lam[:nc], "pair": lam[nc:N]}
+    return v_new
 
 
 def _project_gs(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
@@ -553,7 +567,8 @@ def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
     return jnp.linalg.solve(M, f)
 
 
-def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None):
+def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
+               return_impulses: bool = False):
     """Semi-implicit Euler with implicitly-integrated joint damping —
     (M + hD) v̇ = f − D v — then PGS constraint projection of the candidate
     velocity, then q += h v (MuJoCo 'Euler' + constraint-solver semantics)."""
@@ -566,6 +581,9 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     f = smooth_forces(m, q, qd, ctrl) - D * qd
     qacc = jnp.linalg.solve(M + h * jnp.diag(D), f)
     v_star = qd + h * qacc
+    if return_impulses:
+        qd_new, imp = constraint_project_impulses(m, q, v_star, M_inv, h)
+        return q + h * qd_new, qd_new, imp
     qd_new = constraint_project(m, q, v_star, M_inv, h)
     q_new = q + h * qd_new
     return q_new, qd_new
@@ -594,11 +612,37 @@ def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     return q_new, qd_new
 
 
-def make_stepper(m: PlanarModel, n_substeps: int = 1) -> Callable:
+def make_stepper(m: PlanarModel, n_substeps: int = 1,
+                 return_impulses: bool = False) -> Callable:
     """Returns `step(q, qd, ctrl) -> (q, qd)` advancing n_substeps physics
     steps of size m.dt (ctrl held constant — MuJoCo control-timestep
-    semantics)."""
+    semantics). With `return_impulses`, returns `(q, qd, imp)` where `imp`
+    holds the normal contact impulses SUMMED over the substeps (divide by
+    the control dt for mean contact force — touch-sensor semantics);
+    Euler integrator only."""
     one = step_rk4 if m.integrator == "rk4" else step_euler
+
+    if return_impulses:
+        assert m.integrator != "rk4", "impulse outputs require the Euler path"
+
+        def step_imp(q, qd, ctrl):
+            def body(carry, _):
+                qq, vv, acc = carry
+                qq, vv, imp = step_euler(m, qq, vv, ctrl, return_impulses=True)
+                acc = jax.tree.map(jnp.add, acc, imp)
+                return (qq, vv, acc), None
+
+            dtype = q.dtype
+            acc0 = {
+                "ground": jnp.zeros(m.ncon, dtype),
+                "pair": jnp.zeros(m.npair, dtype),
+            }
+            (q, qd, acc), _ = jax.lax.scan(
+                body, (q, qd, acc0), None, length=n_substeps
+            )
+            return q, qd, acc
+
+        return step_imp
 
     def step(q, qd, ctrl):
         if n_substeps == 1:

@@ -47,6 +47,15 @@ def _builtin():
     register("walker-stand", lambda **kw: Walker(move_speed=0.0, **kw))
     register("walker-walk", lambda **kw: Walker(move_speed=1.0, **kw))
     register("walker-run", lambda **kw: Walker(move_speed=8.0, **kw))
+    from surreal_tpu.envs.ball_in_cup import BallInCup
+    from surreal_tpu.envs.finger import Finger
+    from surreal_tpu.envs.pointmass import PointMass
+
+    register("point_mass-easy", lambda **kw: PointMass(**kw))
+    register("ball_in_cup-catch", lambda **kw: BallInCup(**kw))
+    register("finger-spin", lambda **kw: Finger(task="spin", **kw))
+    register("finger-turn_easy", lambda **kw: Finger(task="turn", target_radius=0.07, **kw))
+    register("finger-turn_hard", lambda **kw: Finger(task="turn", target_radius=0.03, **kw))
 
 
 def make_env(name: str, **kwargs) -> Environment:

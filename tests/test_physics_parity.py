@@ -20,6 +20,7 @@ suite = pytest.importorskip("dm_control.suite")
 DOMAINS = [
     ("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk"),
     ("pendulum", "swingup"), ("acrobot", "swingup"), ("hopper", "stand"),
+    ("point_mass", "easy"), ("ball_in_cup", "catch"), ("finger", "spin"),
 ]
 # domains that passively come to rest on the ground under zero control
 REST_DOMAINS = {"cheetah", "walker", "hopper"}
@@ -51,10 +52,12 @@ def test_smooth_dynamics_parity(oracle, rng):
         d.qvel[:] = qd
         mujoco.mj_forward(mj, d)
 
+        cols = [0, 1] if pm.plane == "xy" else [0, 2]
         pos, ang = engine.fk(pm, jnp.array(q))
-        np.testing.assert_allclose(np.asarray(pos), d.xpos[1:][:, [0, 2]], atol=1e-12)
-        xm = d.xmat[1:].reshape(-1, 3, 3)
-        np.testing.assert_allclose(np.sin(np.asarray(ang)), xm[:, 0, 2], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pos), d.xpos[1:][:, cols], atol=1e-12)
+        if pm.plane == "xz":
+            xm = d.xmat[1:].reshape(-1, 3, 3)
+            np.testing.assert_allclose(np.sin(np.asarray(ang)), xm[:, 0, 2], atol=1e-12)
 
         M_mj = np.zeros((mj.nv, mj.nv))
         mujoco.mj_fullM(mj, d, M_mj)
@@ -66,6 +69,12 @@ def test_smooth_dynamics_parity(oracle, rng):
 
         passive = np.asarray(engine.passive_spring_forces(pm, jnp.array(q))) - pm.damping * qd
         np.testing.assert_allclose(passive, d.qfrc_passive, atol=1e-10)
+
+        ctrl = rng.uniform(-1, 1, mj.nu)
+        d.ctrl[:] = ctrl
+        mujoco.mj_forward(mj, d)
+        act = np.asarray(engine.actuation(pm, jnp.array(ctrl)))
+        np.testing.assert_allclose(act, d.qfrc_actuator, atol=1e-12)
 
 
 def test_cartpole_trajectory_parity(rng):

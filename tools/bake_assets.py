@@ -20,20 +20,26 @@ ASSETS = os.path.join(os.path.dirname(__file__), "..", "surreal_tpu", "envs", "a
 
 
 DOMAINS = [
-    ("cartpole", "balance"), ("cheetah", "run"), ("walker", "walk"),
-    ("pendulum", "swingup"), ("acrobot", "swingup"), ("hopper", "stand"),
-    ("reacher", "easy"),
+    # (domain, task, pair_collisions) — pairs opt-in: locomotion domains
+    # never hit their nominal self-collision pairs (verified in MuJoCo),
+    # manipulation domains need body-body contact.
+    ("cartpole", "balance", False), ("cheetah", "run", False),
+    ("walker", "walk", False), ("pendulum", "swingup", False),
+    ("acrobot", "swingup", False), ("hopper", "stand", False),
+    ("reacher", "easy", False), ("point_mass", "easy", False),
+    ("ball_in_cup", "catch", True), ("finger", "spin", True),
 ]
 
 
 def main():
-    for domain, task in DOMAINS:
+    for domain, task, pairs in DOMAINS:
         env = suite.load(domain, task)
-        m = pmodel.from_mujoco(env.physics.model._model)
+        m = pmodel.from_mujoco(env.physics.model._model, pair_collisions=pairs)
         path = os.path.join(ASSETS, f"{domain}.npz")
         pmodel.save(m, path)
         print(
             f"{domain}: nb={m.nb} nv={m.nv} nu={m.nu} ncon={m.ncon} "
+            f"npair={m.npair} nrope={m.nrope} "
             f"dt={m.dt} integrator={m.integrator} -> {os.path.relpath(path)}"
         )
     bake_cheetah_pool()
