@@ -63,6 +63,10 @@ class PPOConfig:
     lr_adapt_factor: float = 1.5
     lr_min_scale: float = 0.01
     lr_max_scale: float = 10.0
+    # Pallas fused loss kernel (ops/pallas_ppo_loss.py); 'clip' objective
+    # with minibatch size % 256 == 0 only — falls back to the jnp path
+    # otherwise. Numerically equivalent (tested).
+    fused_loss: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -188,6 +192,18 @@ def rollout(
 def _loss_fn(cfg: PPOConfig, apply_fn, params, batch, kl_beta):
     obs, action, logp_old, mean_old, log_std_old, adv, vtarg, v_old = batch
     mean, log_std, value = apply_fn(params, obs)
+    if (
+        cfg.fused_loss
+        and cfg.objective == "clip"
+        and mean.shape[0] % 256 == 0
+    ):
+        from surreal_tpu.ops.pallas_ppo_loss import fused_clip_loss
+
+        return fused_clip_loss(
+            mean, log_std, value, action, logp_old, mean_old, log_std_old,
+            adv, vtarg, v_old, clip_eps=cfg.clip_eps,
+            value_coef=cfg.value_coef, entropy_coef=cfg.entropy_coef,
+        )
     logp = DiagGauss.log_prob(mean, log_std, action)
     ratio = jnp.exp(logp - logp_old)
     kl = jnp.mean(DiagGauss.kl(mean_old, log_std_old, mean, log_std))
