@@ -316,6 +316,50 @@ def _pair_kinematics(m: PlanarModel, q, fkd=None):
     return Jn, Jt, depth, mu
 
 
+def _wall_kinematics(m: PlanarModel, q, fkd=None):
+    """Sphere-candidate contacts against extra static planes (arena walls;
+    inside half-space n·x − d ≥ 0). Candidates are the same spheres as the
+    ground contacts. Returns (Jn (ncon·nwall, nv), Jt, depth, mu): depth > 0
+    means the sphere crosses the plane; a positive normal impulse pushes it
+    back along +n."""
+    dtype = q.dtype
+    fkd = fk_dofs(m, q) if fkd is None else fkd
+    pos, ang, _, _ = fkd
+    cb = np.asarray(m.con_body)
+    radius = jnp.asarray(m.con_radius, dtype)
+    Jns, Jts, depths = [], [], []
+    for w in range(m.nwall):
+        n = jnp.asarray(m.wall_normal[w], dtype)
+        d = float(m.wall_offset[w])
+        # deepest material point toward the wall: center − r·n (world-fixed
+        # direction, expressed in body coordinates for the Jacobian)
+        u_pt = jnp.asarray(m.con_pos, dtype) + _rot(-ang[cb], -radius[:, None] * n)
+        pts_w, J, _, _ = point_jacobians(m, q, u_pt, cb, fkd=fkd)
+        depths.append(d - pts_w @ n)
+        Jns.append(jnp.einsum("c,pcv->pv", n, J))
+        Jts.append(jnp.einsum("c,pcv->pv", _perp(n), J))
+    mu = jnp.tile(jnp.asarray(m.con_friction, dtype), m.nwall)
+    return jnp.concatenate(Jns), jnp.concatenate(Jts), jnp.concatenate(depths), mu
+
+
+def penetration(m: PlanarModel, q) -> jax.Array:
+    """Max penetration depth over all contact candidates (ground, walls,
+    body-body pairs) — the JAX analog of the oracle's `ncon > 0` check in
+    rejection-sampled episode inits."""
+    fkd = fk_dofs(m, q)
+    depths = [jnp.asarray(-jnp.inf, q.dtype)]
+    if m.ncon:
+        _, d = _contact_kinematics(m, q, fkd=fkd)
+        depths.append(jnp.max(d))
+        if m.nwall:
+            _, _, dw, _ = _wall_kinematics(m, q, fkd=fkd)
+            depths.append(jnp.max(dw))
+    if m.npair:
+        _, _, dp, _ = _pair_kinematics(m, q, fkd=fkd)
+        depths.append(jnp.max(dp))
+    return jnp.stack(depths).max()
+
+
 def _rope_kinematics(m: PlanarModel, q, fkd=None):
     """Tendon-limit (max-length rope) rows.
 
@@ -359,7 +403,10 @@ def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
     cost). solver='gs': the original sequential PGS (reference/cross-check;
     ground contacts + limits only).
     """
-    if solver == "jacobi" or m.npair or m.nrope or m.has_dof_friction:
+    if (
+        solver == "jacobi"
+        or m.npair or m.nrope or m.has_dof_friction or m.neq or m.nwall
+    ):
         return _project_jacobi(m, q, v, M_inv, h, n_iter=max(n_iter, 20))
     return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
 
@@ -375,21 +422,25 @@ def constraint_project_impulses(m: PlanarModel, q, v, M_inv, h: float,
 def has_constraints(m: PlanarModel) -> bool:
     return bool(
         m.ncon or m.npair or m.nrope or m.has_dof_friction or np.any(m.limited)
+        or m.neq
     )
 
 
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
                     relax: float = 0.7, return_impulses: bool = False):
-    """Row layout: [normals (ground+pair) | tangents (ground+pair, boxed by
-    μ·λn) | dof-friction (boxed by frictionloss·h) | nonneg (ropes, limits)].
+    """Row layout: [normals (ground+pair+wall) | tangents (same, boxed by
+    μ·λn) | dof-friction (boxed by frictionloss·h) | nonneg (ropes, limits)
+    | free (equality couplings)].
     """
     dtype = q.dtype
     has_limits = bool(np.any(m.limited))
-    nc, npair, nrope = m.ncon, m.npair, m.nrope
+    nc, npair, nrope, ne = m.ncon, m.npair, m.nrope, m.neq
+    nwall = nc * m.nwall
     has_fric = m.has_dof_friction
-    if not (nc or npair or nrope or has_fric or has_limits):
+    if not (nc or npair or nrope or has_fric or has_limits or ne):
         if return_impulses:
-            return v, {"ground": jnp.zeros(0, dtype), "pair": jnp.zeros(0, dtype)}
+            return v, {"ground": jnp.zeros(0, dtype), "pair": jnp.zeros(0, dtype),
+                       "wall": jnp.zeros(0, dtype)}
         return v
 
     fkd = fk_dofs(m, q) if (nc or npair or nrope) else None
@@ -409,13 +460,20 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         t_rows.append(Jt * active[:, None])
         n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
         mus.append(mu)
+    if nwall:
+        Jn, Jt, depth, mu = _wall_kinematics(m, q, fkd=fkd)
+        active = (depth > 0).astype(dtype)
+        n_rows.append(Jn * active[:, None])
+        t_rows.append(Jt * active[:, None])
+        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        mus.append(mu)
 
     rows, targets = [], []
     if n_rows:
         rows += n_rows + t_rows
         targets += n_targets + [jnp.zeros_like(t) for t in n_targets]
         mu_all = jnp.concatenate(mus)
-    N = nc + npair
+    N = nc + npair + nwall
 
     if has_fric:
         fric_dofs = np.flatnonzero(np.asarray(m.frictionloss) > 0)
@@ -442,9 +500,15 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
         rows.append(jnp.diag(lim_sign))  # row j = s_j e_j (zero when inactive)
         targets.append((viol_lo + viol_hi) / m.limit_timeconst)
+    if ne:
+        # bilateral coupling rows: drive E q back to eq_ref (λ unbounded)
+        E = jnp.asarray(m.eq_moment, dtype)
+        rows.append(E)
+        targets.append(-(E @ q - jnp.asarray(m.eq_ref, dtype)) / m.eq_timeconst)
 
     J_all = jnp.concatenate(rows, 0)  # (C, nv)
     target = jnp.concatenate(targets, 0)  # (C,)
+    nn_end = J_all.shape[0] - ne  # rows in [2N+F, nn_end) are λ ≥ 0
 
     MJ = J_all @ M_inv  # (C, nv)
     W = MJ @ J_all.T  # (C, C) Delassus
@@ -459,7 +523,10 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
             parts += [lam_n, jnp.clip(lam[N : 2 * N], -bound, bound)]
         if F:
             parts.append(jnp.clip(lam[2 * N : 2 * N + F], -fric_bound, fric_bound))
-        parts.append(jnp.maximum(lam[2 * N + F :], 0.0))
+        if nn_end > 2 * N + F:
+            parts.append(jnp.maximum(lam[2 * N + F : nn_end], 0.0))
+        if ne:
+            parts.append(lam[nn_end:])  # equality impulses are free
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def sweep(_, lam):
@@ -469,7 +536,11 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     lam = jax.lax.fori_loop(0, n_iter, sweep, jnp.zeros(J_all.shape[0], dtype))
     v_new = v + MJ.T @ lam
     if return_impulses:
-        return v_new, {"ground": lam[:nc], "pair": lam[nc:N]}
+        return v_new, {
+            "ground": lam[:nc],
+            "pair": lam[nc : nc + npair],
+            "wall": lam[nc + npair : N],
+        }
     return v_new
 
 
@@ -636,6 +707,7 @@ def make_stepper(m: PlanarModel, n_substeps: int = 1,
             acc0 = {
                 "ground": jnp.zeros(m.ncon, dtype),
                 "pair": jnp.zeros(m.npair, dtype),
+                "wall": jnp.zeros(m.ncon * m.nwall, dtype),
             }
             (q, qd, acc), _ = jax.lax.scan(
                 body, (q, qd, acc0), None, length=n_substeps

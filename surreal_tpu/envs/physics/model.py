@@ -99,6 +99,19 @@ class PlanarModel:
     # manipulator grasp). None ⇒ use (act_dof, gear) scatter ---
     act_moment: np.ndarray | None = None
 
+    # --- bilateral equality constraints (MuJoCo fixed-tendon equality,
+    # e.g. manipulator's thumb-finger coupling): each row enforces
+    # eq_moment @ q == eq_ref via unbounded impulses ---
+    eq_moment: np.ndarray | None = None  # (ne, nv)
+    eq_ref: np.ndarray | None = None  # (ne,)
+    eq_timeconst: float = 0.02
+
+    # --- extra static planes (arena walls; MuJoCo tilted plane geoms on
+    # the world body). Inside half-space: n·x − d ≥ 0. The ground-contact
+    # candidate spheres (con_*) double as wall-contact candidates ---
+    wall_normal: np.ndarray | None = None  # (nwall, 2) unit normals
+    wall_offset: np.ndarray | None = None  # (nwall,) d = n·p for plane point p
+
     @property
     def nb(self) -> int:
         return len(self.parent)
@@ -122,6 +135,14 @@ class PlanarModel:
     @property
     def nrope(self) -> int:
         return 0 if self.rope_body is None else len(self.rope_body)
+
+    @property
+    def neq(self) -> int:
+        return 0 if self.eq_moment is None else len(self.eq_moment)
+
+    @property
+    def nwall(self) -> int:
+        return 0 if self.wall_normal is None else len(self.wall_normal)
 
     @property
     def has_dof_friction(self) -> bool:
@@ -280,10 +301,23 @@ def from_mujoco(
     con_body, con_pos, con_radius, con_friction = [], [], [], []
     floor_contype = 0
     floor_conaff = 0
+    wall_normal, wall_offset = [], []
     for g in range(m.ngeom):
         if m.geom_bodyid[g] == 0 and m.geom_type[g] == mujoco.mjtGeom.mjGEOM_PLANE:
+            # Plane normal = geom-frame local +z in world coordinates.
+            n3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
+            if abs(n3[normal]) > 1e-6:
+                continue  # normal out of the working plane (backdrop) — decorative
+            n2 = n3[cols]
+            n2 = n2 / np.linalg.norm(n2)
             floor_contype |= int(m.geom_contype[g])
             floor_conaff |= int(m.geom_conaffinity[g])
+            if n2[1] > 0.999 and abs(float(n2 @ m.geom_pos[g][cols])) < 1e-9:
+                pass  # horizontal ground at height 0: the engine's built-in plane
+            else:
+                # tilted/offset plane: arena wall constraint
+                wall_normal.append(n2)
+                wall_offset.append(float(n2 @ m.geom_pos[g][cols]))
     contact_disabled = bool(m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_CONTACT)
     for g in range(m.ngeom):
         b = m.geom_bodyid[g]
@@ -383,6 +417,29 @@ def from_mujoco(
         else:
             raise AssertionError(f"unsupported limited tendon {t}: {wraps}")
 
+    # --- equality constraints: single fixed-tendon equalities only
+    # (manipulator's thumb-finger coupling). Enforce L(q) = L(qpos0) + data0
+    # where L = Σ coef_j q_j over the tendon's wrap joints. ---
+    eq_rows, eq_refs, eq_tcs = [], [], []
+    for e in range(m.neq):
+        if not m.eq_active0[e]:
+            continue
+        assert m.eq_type[e] == mujoco.mjtEq.mjEQ_TENDON, (
+            f"unsupported equality type {m.eq_type[e]}"
+        )
+        t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
+        assert t2 <= 0, "two-tendon (polynomial) equality unsupported"
+        row = np.zeros(nv)
+        adr, num = int(m.tendon_adr[t1]), int(m.tendon_num[t1])
+        for w in range(adr, adr + num):
+            assert int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT), (
+                "equality over spatial tendons unsupported"
+            )
+            row[int(m.wrap_objid[w])] = float(m.wrap_prm[w])
+        eq_rows.append(row)
+        eq_refs.append(float(row @ m.qpos0.reshape(-1)) + float(m.eq_data[e, 0]))
+        eq_tcs.append(float(m.eq_solref[e, 0]))
+
     # --- actuators: joint or fixed-tendon transmission -> moment matrix ---
     act_dof, gear = [], []
     act_moment = np.zeros((m.nu, nv))
@@ -454,6 +511,11 @@ def from_mujoco(
         ),
         dof_ref=m.qpos0.copy().reshape(-1) if np.any(m.qpos0 != 0) else None,
         act_moment=act_moment if needs_moment else None,
+        eq_moment=np.asarray(eq_rows) if eq_rows else None,
+        eq_ref=np.asarray(eq_refs) if eq_rows else None,
+        eq_timeconst=min(eq_tcs) if eq_rows else 0.02,
+        wall_normal=np.asarray(wall_normal) if wall_normal else None,
+        wall_offset=np.asarray(wall_offset) if wall_normal else None,
     )
 
 
@@ -470,17 +532,22 @@ _ARRAY_FIELDS = [
 _OPT_ARRAY_FIELDS = [
     "body_angle", "geom_p0", "geom_p1", "geom_radius", "geom_friction",
     "pair_geoms", "rope_body", "rope_pos", "rope_max", "frictionloss",
-    "act_moment", "dof_ref",
+    "act_moment", "dof_ref", "eq_moment", "eq_ref", "wall_normal", "wall_offset",
 ]
 _TUPLE_FIELDS = ["parent", "dof_body", "dof_type", "act_dof", "con_body"]
 _OPT_TUPLE_FIELDS = ["geom_body"]
 _SCALAR_FIELDS = [
     "dt", "gravity", "integrator", "plane", "contact_timeconst", "limit_timeconst",
+    "eq_timeconst",
 ]
 
 
-def save(model: PlanarModel, path: str) -> None:
+def save(model: PlanarModel, path: str, extras: dict | None = None) -> None:
+    """Serialize to .npz. `extras` entries are stored under an `x_` prefix
+    (ignored by `load`; env modules may read them for task metadata)."""
     data = {f: getattr(model, f) for f in _ARRAY_FIELDS}
+    for k, v in (extras or {}).items():
+        data[f"x_{k}"] = np.asarray(v)
     for f in _OPT_ARRAY_FIELDS:
         v = getattr(model, f)
         if v is not None:

@@ -42,7 +42,51 @@ def main():
             f"npair={m.npair} nrope={m.nrope} "
             f"dt={m.dt} integrator={m.integrator} -> {os.path.relpath(path)}"
         )
+    bake_manipulator()
     bake_cheetah_pool()
+
+
+def bake_manipulator():
+    """Manipulator domain (bring_ball / bring_peg): bake per-prop models
+    plus name metadata extras (body/site/joint lookup happens by name in
+    surreal_tpu/envs/manipulator.py, not by brittle hardcoded indices)."""
+    import mujoco
+    import numpy as np
+
+    for prop in ("ball", "peg"):
+        env = suite.load("manipulator", f"bring_{prop}")
+        mj = env.physics.model._model
+        m = pmodel.from_mujoco(mj, pair_collisions=True)
+        # name metadata (planar body index = mujoco body id − 1)
+        body_names = [
+            mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_BODY, b) or ""
+            for b in range(1, mj.nbody)
+        ]
+        site_names, site_body, site_pos = [], [], []
+        for s in range(mj.nsite):
+            site_names.append(
+                mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_SITE, s) or ""
+            )
+            site_body.append(int(mj.site_bodyid[s]) - 1)
+            site_pos.append(mj.site_pos[s][[0, 2]])
+        joint_names = [
+            mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_JOINT, j) or ""
+            for j in range(mj.njnt)
+        ]
+        extras = {
+            "body_names": np.asarray(body_names),
+            "site_names": np.asarray(site_names),
+            "site_body": np.asarray(site_body, np.int64),
+            "site_pos": np.asarray(site_pos),
+            "joint_names": np.asarray(joint_names),
+        }
+        path = os.path.join(ASSETS, f"manipulator_{prop}.npz")
+        pmodel.save(m, path, extras=extras)
+        print(
+            f"manipulator_{prop}: nb={m.nb} nv={m.nv} nu={m.nu} ncon={m.ncon} "
+            f"npair={m.npair} nwall={m.nwall} neq={m.neq} dt={m.dt} "
+            f"-> {os.path.relpath(path)}"
+        )
 
 
 def bake_cheetah_pool(size: int = 4096):
