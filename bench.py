@@ -18,16 +18,21 @@ CPU_REFERENCE_STEPS_PER_S = 4800.0  # measured, see BASELINE.md
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 256))
 HORIZON = int(os.environ.get("BENCH_HORIZON", 128))
-WARMUP_ITERS = 3
-TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 15))
+WARMUP_ITERS = int(os.environ.get("BENCH_WARMUP_ITERS", 2))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main():
     import jax
 
-    # First compile of the fused train step takes minutes on the axon
-    # remote-compile path; persist compiled executables across runs.
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_surreal")
+    # Persist compiled executables across runs. NOTE (measured, round 2):
+    # on the axon remote-compile path a persistent-cache HIT does not reduce
+    # wall time (~115 s to load/compile the fused step either way), so the
+    # real timeout fix vs round 1 (BENCH_r01 rc=124) is the smaller
+    # warmup/iteration budget below: total cold run ~160 s.
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -141,24 +141,37 @@ def rollout(
     def norm(o):
         return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
 
+    def values_of(flat_obs):
+        return apply_fn(state.params, norm(flat_obs))[2]
+
     def step(carry, key_t):
         env_state, obs, ep_ret, done_sum, done_ret = carry
         mean, log_std, value = apply_fn(state.params, norm(obs))
         action = DiagGauss.sample(key_t, mean, log_std)
         log_prob = DiagGauss.log_prob(mean, log_std, action)
         env_state, ts = env_step(env_state, action)
-        # Bootstrap value on the PRE-reset obs (terminal obs at done);
-        # the next policy input is the post-reset carry_obs.
-        _, _, next_value = apply_fn(state.params, norm(flatten_obs(ts.obs)))
+        # Bootstrap target at `done` is V(terminal obs), which differs from
+        # the post-reset carry_obs the policy sees next. Time-limit dones are
+        # rare (1/episode_steps) and lockstep-synchronized, so pay the extra
+        # terminal-value forward ONLY on steps where some env finished
+        # (lax.cond executes one branch); everywhere else next_value(t) is
+        # recovered as value(t+1) after the scan — bit-identical to a
+        # per-step double forward (tests/test_ppo.py golden test).
+        term_value = jax.lax.cond(
+            jnp.any(ts.done),
+            values_of,
+            lambda o: jnp.zeros_like(value),
+            flatten_obs(ts.obs),
+        )
         next_obs = flatten_obs(ts.carry_obs)
-        tr = Trajectory(
+        tr = dict(
             obs=obs,
             action=action,
             log_prob=log_prob,
             mean=mean,
             log_std=jnp.broadcast_to(log_std, mean.shape),
             value=value,
-            next_value=next_value,
+            term_value=term_value,
             reward=ts.reward,
             discount=ts.discount,
             done=ts.done,
@@ -174,9 +187,17 @@ def rollout(
     B = obs.shape[0]
     zeros = jnp.zeros((B,), jnp.float32)
     keys = jax.random.split(key, cfg.horizon)
-    (env_state, obs, ep_ret, done_sum, done_ret), traj = jax.lax.scan(
+    (env_state, obs, ep_ret, done_sum, done_ret), tr = jax.lax.scan(
         step, (env_state, obs, ep_ret, zeros, zeros), keys
     )
+    # next_value(t) = V(obs_{t+1}) except at done, where it is the terminal
+    # value probed inside the scan. One chunk-end bootstrap forward on the
+    # final carry obs closes the sequence.
+    v_last = values_of(obs)
+    value_next = jnp.concatenate([tr["value"][1:], v_last[None]], axis=0)
+    term_value = tr.pop("term_value")
+    next_value = jnp.where(tr["done"], term_value, value_next)
+    traj = Trajectory(next_value=next_value, **tr)
     stats = {
         "episodes_done": jnp.sum(done_sum),
         "episode_return_sum": jnp.sum(done_ret),

@@ -57,21 +57,34 @@ def rollout(cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, carry, 
 
     init_carry = carry
 
+    def probe_value(flat_obs, carry):
+        return apply_fn(state.params, norm(flat_obs), carry)[2]
+
     def step(scan_carry, key_t):
         env_state, obs, carry, ep_ret, done_sum, done_ret = scan_carry
         mean, log_std, value, new_carry = apply_fn(state.params, norm(obs), carry)
         action = DiagGauss.sample(key_t, mean, log_std)
         log_prob = DiagGauss.log_prob(mean, log_std, action)
         env_state, ts = env_step(env_state, action)
-        # Terminal-obs bootstrap value: one LSTM step ahead on the pre-reset
-        # obs (the advanced carry from that probe is DISCARDED).
-        _, _, next_value, _ = apply_fn(state.params, norm(flatten_obs(ts.obs)), new_carry)
+        # Terminal-obs bootstrap value: one LSTM probe ahead on the pre-reset
+        # obs with the PRE-reset carry (the probe carry is discarded). Where
+        # no env finished this step, the probe equals value(t+1) computed in
+        # the next scan iteration (carry_obs == obs, reset_carry == carry),
+        # so pay it only when some env finished (lax.cond; dones are rare
+        # and lockstep) — bit-identical to a per-step double forward.
+        term_value = jax.lax.cond(
+            jnp.any(ts.done),
+            probe_value,
+            lambda o, c: jnp.zeros_like(value),
+            flatten_obs(ts.obs),
+            new_carry,
+        )
         next_obs = flatten_obs(ts.carry_obs)
         new_carry = _reset_carry(new_carry, ts.done)
         tr_step = dict(
             obs=obs, action=action, log_prob=log_prob, mean=mean,
             log_std=jnp.broadcast_to(log_std, mean.shape), value=value,
-            next_value=next_value, reward=ts.reward, discount=ts.discount,
+            term_value=term_value, reward=ts.reward, discount=ts.discount,
             done=ts.done,
         )
         ep_ret = ep_ret + ts.reward
@@ -87,7 +100,11 @@ def rollout(cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, carry, 
     (env_state, obs, carry, ep_ret, done_sum, done_ret), tr = jax.lax.scan(
         step, (env_state, obs, carry, ep_ret, zeros, zeros), keys
     )
-    traj = LSTMTrajectory(init_carry=init_carry, **tr)
+    v_last = probe_value(obs, carry)
+    value_next = jnp.concatenate([tr["value"][1:], v_last[None]], axis=0)
+    term_value = tr.pop("term_value")
+    next_value = jnp.where(tr["done"], term_value, value_next)
+    traj = LSTMTrajectory(init_carry=init_carry, next_value=next_value, **tr)
     stats = {"episodes_done": jnp.sum(done_sum), "episode_return_sum": jnp.sum(done_ret)}
     return traj, env_state, obs, carry, ep_ret, stats
 

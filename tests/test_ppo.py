@@ -42,11 +42,83 @@ def test_lstm_ppo_runs_and_evaluates():
         use_lstm=True, lstm_size=32,
     )
     logs = tr.run(2, log_every=1)
-    assert all(np.isfinite(v) for m in logs for v in m.items() if isinstance(v, float))
+    assert all(np.isfinite(v) for m in logs for v in m.values() if isinstance(v, float))
     ev = tr.evaluate(episodes=4)
     assert np.isfinite(ev["return_mean"])
     # carry actually evolves during rollouts
     assert float(jnp.abs(tr.carry[0]).max()) > 0
+
+
+def _reference_rollout(cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, ep_ret, key):
+    """Literal per-step double-forward rollout (the pre-optimization
+    semantics): next_value(t) = V(terminal obs) recomputed EVERY step."""
+    from surreal_tpu.models.distributions import DiagGauss
+    from surreal_tpu.models.z_filter import zfilter_normalize
+
+    def norm(o):
+        return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
+
+    def step(carry, key_t):
+        env_state, obs, ep_ret = carry
+        mean, log_std, value = apply_fn(state.params, norm(obs))
+        action = DiagGauss.sample(key_t, mean, log_std)
+        log_prob = DiagGauss.log_prob(mean, log_std, action)
+        env_state, ts = env_step(env_state, action)
+        _, _, next_value = apply_fn(state.params, norm(flatten_obs(ts.obs)))
+        tr = ppo.Trajectory(
+            obs=obs, action=action, log_prob=log_prob, mean=mean,
+            log_std=jnp.broadcast_to(log_std, mean.shape), value=value,
+            next_value=next_value, reward=ts.reward, discount=ts.discount,
+            done=ts.done,
+        )
+        return (env_state, flatten_obs(ts.carry_obs), ep_ret + ts.reward), tr
+
+    keys = jax.random.split(key, cfg.horizon)
+    _, traj = jax.lax.scan(step, (env_state, obs, ep_ret), keys)
+    return traj
+
+
+def test_rollout_matches_double_forward_golden():
+    """The lazy terminal-value rollout (one forward/step + cond at dones)
+    must produce BIT-IDENTICAL GAE inputs to the naive double-forward
+    rollout, including across episode boundaries."""
+    from surreal_tpu.envs import base as env_base
+    from surreal_tpu.envs import make_env
+    from surreal_tpu.models.actor_critic import PPOActorCritic
+
+    env = make_env("cartpole-balance")
+    env.episode_steps = 5  # force done steps inside the chunk
+    cfg = ppo.PPOConfig(horizon=12)
+    net = PPOActorCritic(action_dim=env.action_dim, hidden=(16, 16))
+    reset_fn, step_fn = env_base.vectorize(env)
+    env_state, ts0 = jax.jit(reset_fn)(jax.random.split(jax.random.PRNGKey(1), 6))
+    obs = env_base.flatten_obs(ts0.obs)
+    params = net.init(jax.random.PRNGKey(0), obs[:1])
+    state = ppo.init_state(cfg, params, obs.shape[-1])
+    ep_ret = jnp.zeros((6,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    traj, _, _, _, _ = jax.jit(
+        lambda s, es, o, r, k: ppo.rollout(
+            cfg, net.apply, step_fn, env_base.flatten_obs, s, es, o, r, k
+        )
+    )(state, env_state, obs, ep_ret, key)
+    ref = jax.jit(
+        lambda s, es, o, r, k: _reference_rollout(
+            cfg, net.apply, step_fn, env_base.flatten_obs, s, es, o, r, k
+        )
+    )(state, env_state, obs, ep_ret, key)
+
+    assert bool(jnp.any(traj.done)), "test must cross an episode boundary"
+    for name in ("obs", "action", "log_prob", "value", "reward", "done"):
+        a, b = getattr(traj, name), getattr(ref, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"{name} differs"
+    # next_value is the same math but XLA fuses the forward differently at
+    # its three program positions (in-scan cond / post-scan bootstrap), so
+    # agreement is float32-ULP, not bit-for-bit.
+    np.testing.assert_allclose(
+        np.asarray(traj.next_value), np.asarray(ref.next_value), rtol=2e-6, atol=1e-6
+    )
 
 
 @pytest.mark.slow
