@@ -67,6 +67,10 @@ class PPOConfig:
     # with minibatch size % 256 == 0 only — falls back to the jnp path
     # otherwise. Numerically equivalent (tested).
     fused_loss: bool = False
+    # Actor-side parameter staleness (the reference's ZMQ pub-sub lag,
+    # surreal/distributed/ps: learner publishes every K updates; actors act
+    # on the last published snapshot). 1 = fully fused zero-staleness.
+    publish_every: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +82,9 @@ class PPOTrainState:
     kl_beta: jax.Array  # adaptive-KL penalty coefficient
     lr_scale: jax.Array  # KL-adaptive LR multiplier
     update_step: jax.Array
+    # ParamSyncState actor-param snapshot when cfg.publish_every > 1, else
+    # None (actors ARE the learner's params — zero staleness).
+    psync: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -108,6 +115,12 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 
 def init_state(cfg: PPOConfig, params, obs_dim: int) -> PPOTrainState:
+    if cfg.publish_every > 1:
+        from surreal_tpu.parallel.param_sync import param_sync_init
+
+        psync = param_sync_init(params)
+    else:
+        psync = None
     return PPOTrainState(
         params=params,
         opt_state=make_optimizer(cfg).init(params),
@@ -115,7 +128,14 @@ def init_state(cfg: PPOConfig, params, obs_dim: int) -> PPOTrainState:
         kl_beta=jnp.asarray(cfg.kl_beta_init, jnp.float32),
         lr_scale=jnp.asarray(1.0, jnp.float32),
         update_step=jnp.asarray(0, jnp.int32),
+        psync=psync,
     )
+
+
+def acting_params(cfg: PPOConfig, state: PPOTrainState):
+    """Params the ACTOR side uses: the published snapshot under staleness
+    (cfg.publish_every > 1), the live learner params otherwise."""
+    return state.psync.actor_params if cfg.publish_every > 1 else state.params
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +161,14 @@ def rollout(
     def norm(o):
         return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
 
+    pi = acting_params(cfg, state)
+
     def values_of(flat_obs):
-        return apply_fn(state.params, norm(flat_obs))[2]
+        return apply_fn(pi, norm(flat_obs))[2]
 
     def step(carry, key_t):
         env_state, obs, ep_ret, done_sum, done_ret = carry
-        mean, log_std, value = apply_fn(state.params, norm(obs))
+        mean, log_std, value = apply_fn(pi, norm(obs))
         action = DiagGauss.sample(key_t, mean, log_std)
         log_prob = DiagGauss.log_prob(mean, log_std, action)
         env_state, ts = env_step(env_state, action)
@@ -349,6 +371,14 @@ def update(
     if cfg.use_zfilter:
         zf = zfilter_update(zf, traj.obs, axis_name=axis_name)
 
+    psync = state.psync
+    if cfg.publish_every > 1:  # publish-to-actors cadence (ref pub-sub lag)
+        from surreal_tpu.parallel.param_sync import param_sync_refresh
+
+        psync = param_sync_refresh(
+            psync, params, state.update_step + 1, cfg.publish_every
+        )
+
     new_state = PPOTrainState(
         params=params,
         opt_state=opt_state,
@@ -356,6 +386,7 @@ def update(
         kl_beta=kl_beta,
         lr_scale=lr_scale,
         update_step=state.update_step + 1,
+        psync=psync,
     )
     metrics["lr_scale"] = lr_scale
     metrics["kl_beta"] = kl_beta

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from surreal_tpu.algos.ppo import PPOConfig, PPOTrainState, make_optimizer
+from surreal_tpu.algos.ppo import PPOConfig, PPOTrainState, acting_params, make_optimizer
 from surreal_tpu.models.distributions import DiagGauss
 from surreal_tpu.models.z_filter import zfilter_normalize, zfilter_update
 from surreal_tpu.ops.returns import gae
@@ -56,13 +56,14 @@ def rollout(cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, carry, 
         return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
 
     init_carry = carry
+    pi = acting_params(cfg, state)
 
     def probe_value(flat_obs, carry):
-        return apply_fn(state.params, norm(flat_obs), carry)[2]
+        return apply_fn(pi, norm(flat_obs), carry)[2]
 
     def step(scan_carry, key_t):
         env_state, obs, carry, ep_ret, done_sum, done_ret = scan_carry
-        mean, log_std, value, new_carry = apply_fn(state.params, norm(obs), carry)
+        mean, log_std, value, new_carry = apply_fn(pi, norm(obs), carry)
         action = DiagGauss.sample(key_t, mean, log_std)
         log_prob = DiagGauss.log_prob(mean, log_std, action)
         env_state, ts = env_step(env_state, action)
@@ -215,9 +216,17 @@ def update(cfg, apply_fn, state, traj: LSTMTrajectory, key, axis_name=None):
     if cfg.use_zfilter:
         zf = zfilter_update(zf, traj.obs, axis_name=axis_name)
 
+    psync = state.psync
+    if cfg.publish_every > 1:  # publish-to-actors cadence (ref pub-sub lag)
+        from surreal_tpu.parallel.param_sync import param_sync_refresh
+
+        psync = param_sync_refresh(
+            psync, params, state.update_step + 1, cfg.publish_every
+        )
+
     new_state = PPOTrainState(
         params=params, opt_state=opt_state, zfilter=zf, kl_beta=kl_beta,
-        lr_scale=lr_scale, update_step=state.update_step + 1,
+        lr_scale=lr_scale, update_step=state.update_step + 1, psync=psync,
     )
     metrics["lr_scale"] = lr_scale
     metrics["kl_beta"] = kl_beta

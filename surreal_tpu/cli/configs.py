@@ -14,6 +14,9 @@ BASE_ENV_CONFIG = Config(
     env_name=REQUIRED("e.g. cheetah-run"),
     num_envs=256,
     pixel_obs=False,
+    # PixelWrapper knobs (used when pixel_obs=True)
+    pixel=Config(height=84, width=84, frame_stack=3, grayscale=True,
+                 keep_low_dim=False, action_repeat=4),
 )
 
 BASE_SESSION_CONFIG = Config(
@@ -25,6 +28,9 @@ BASE_SESSION_CONFIG = Config(
     eval_episodes=16,
     checkpoint_every_steps=1_000_000,
     keep_latest_checkpoints=3,
+    # 'auto': resume from the latest checkpoint if one exists; 'true':
+    # require one; 'false': always start fresh.
+    restore="auto",
     tensorboard=True,
     log_every_iterations=20,
     # parallel layout (SURVEY.md §2D/E): data-parallel shards etc.
@@ -49,6 +55,14 @@ PPO_BASE_LEARNER_CONFIG = Config(
     objective="clip",
     kl_target=0.01,
     adapt_lr=True,
+    lr_adapt_factor=1.5,
+    lr_min_scale=0.01,
+    lr_max_scale=10.0,
+    kl_beta_init=1.0,
+    fused_loss=False,
+    publish_every=1,  # actor param staleness (reference's pub-sub lag)
+    use_lstm=False,
+    lstm_size=128,
     hidden=[256, 256],
     compute_dtype="float32",
 )
@@ -98,6 +112,8 @@ def to_algo_config(learner: Config):
             "horizon", "gamma", "lam", "clip_eps", "epochs", "num_minibatches",
             "lr", "entropy_coef", "value_coef", "max_grad_norm", "normalize_adv",
             "use_zfilter", "objective", "kl_target", "adapt_lr",
+            "lr_adapt_factor", "lr_min_scale", "lr_max_scale", "kl_beta_init",
+            "fused_loss", "publish_every",
         ]
         return PPOConfig(**{k: learner[k] for k in keys})
     elif learner.algo == "ddpg":

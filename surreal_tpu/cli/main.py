@@ -49,25 +49,42 @@ def _parse_overrides(unknown: list[str]) -> dict:
     return out.to_dict()
 
 
-def _build_trainer(learner, env_cfg, session):
-    import jax
+def _make_mesh(session):
+    """session.mesh.{data,model,time} -> Mesh or None (single device).
+    data=None leaves the trainer unsharded; data='all' or an int builds the
+    mesh (the reference's symphony topology collapsed to axis sizes)."""
+    m = session.mesh
+    if m.data is None and int(m.model) == 1 and int(m.time) == 1:
+        return None
+    from surreal_tpu.parallel.mesh import make_mesh
 
+    data = None if m.data in (None, "all") else int(m.data)
+    return make_mesh(data=data, model=int(m.model), time=int(m.time))
+
+
+def _build_trainer(learner, env_cfg, session):
     seed = int(session.seed)
     algo_cfg = to_algo_config(learner)
+    mesh = _make_mesh(session)
     if learner.algo == "ppo":
         from surreal_tpu.train import PPOTrainer
 
         return PPOTrainer(
             env_cfg.env_name, algo_cfg, num_envs=int(env_cfg.num_envs), seed=seed,
-            hidden=tuple(learner.hidden),
+            hidden=tuple(learner.hidden), mesh=mesh,
+            pixel_obs=bool(env_cfg.pixel_obs),
+            pixel_kwargs=env_cfg.pixel.to_dict() if env_cfg.pixel_obs else None,
+            use_lstm=bool(learner.use_lstm), lstm_size=int(learner.lstm_size),
         )
     else:
         from surreal_tpu.train import DDPGTrainer
 
+        if env_cfg.pixel_obs:
+            raise SystemExit("pixel_obs is supported for ppo only")
         return DDPGTrainer(
             env_cfg.env_name, algo_cfg, num_envs=int(env_cfg.num_envs), seed=seed,
             actor_hidden=tuple(learner.actor_hidden),
-            critic_hidden=tuple(learner.critic_hidden),
+            critic_hidden=tuple(learner.critic_hidden), mesh=mesh,
         )
 
 
@@ -100,6 +117,17 @@ def cmd_train(algo: str, overrides: dict) -> int:
     )
     tb = MetricsWriter(os.path.join(exp_dir, "tb") if session.tensorboard else None)
 
+    # ---- resume (SURVEY.md §5 checkpoint/resume: the FULL training state —
+    # params/opt/Z-filter/env batch/replay/RNG/counters — survives a kill) ----
+    restore = str(session.restore).lower()
+    latest = ckpt.latest_step()
+    if restore in ("auto", "true", "1") and latest is not None:
+        trainer.load_full_state(ckpt.restore(trainer.full_state))
+        log.info("resumed from checkpoint @ %d env steps (iter %d)",
+                 latest, trainer.global_iter)
+    elif restore in ("true", "1"):
+        raise SystemExit(f"--session.restore true but no checkpoint under {exp_dir}")
+
     steps_per_iter = trainer.steps_per_iteration
     total_iters = max(int(session.total_env_steps) // steps_per_iter, 1)
     eval_every = max(int(session.eval_every_steps) // steps_per_iter, 1)
@@ -110,15 +138,14 @@ def cmd_train(algo: str, overrides: dict) -> int:
         session.experiment_name, algo, env_cfg.env_name, total_iters, steps_per_iter,
     )
 
-    done_iters = 0
-    while done_iters < total_iters:
-        n = min(seg, total_iters - done_iters)
-        logs = trainer.run(
+    while trainer.global_iter < total_iters:
+        n = min(seg, total_iters - trainer.global_iter)
+        trainer.run(
             n,
             log_every=int(session.log_every_iterations),
             metric_sink=lambda m: tb.write(int(m["env_steps"]), m),
         )
-        done_iters += n
+        done_iters = trainer.global_iter
         env_steps = done_iters * steps_per_iter
         score = None
         if (done_iters % eval_every == 0) or done_iters >= total_iters:
@@ -127,7 +154,7 @@ def cmd_train(algo: str, overrides: dict) -> int:
             tb.write(env_steps, ev, section="eval")
             log.info("eval @ %.2e steps: %.1f ± %.1f", env_steps, ev["return_mean"], ev["return_std"])
         if (done_iters % ckpt_every == 0) or done_iters >= total_iters:
-            ckpt.save(env_steps, trainer.state, score=score)
+            ckpt.save(env_steps, trainer.full_state, score=score)
     ckpt.close()
     tb.close()
     return 0
@@ -145,7 +172,7 @@ def cmd_eval(experiment: str, best: bool, episodes: int) -> int:
     session = Config(saved["session"])
     trainer = _build_trainer(learner, env_cfg, session)
     ckpt = Checkpointer(os.path.join(experiment, "checkpoints"))
-    trainer.state = ckpt.restore(trainer.state, best=best)
+    trainer.load_full_state(ckpt.restore(trainer.full_state, best=best))
     result = trainer.evaluate(episodes=episodes)
     print(json.dumps(result))
     return 0

@@ -81,6 +81,41 @@ def make_sharded_ddpg_step(
     return build
 
 
+def make_sharded_ppo_lstm_step(
+    cfg: ppo.PPOConfig,
+    apply_fn: Callable,
+    env_step: Callable,
+    flatten_obs: Callable,
+    mesh: Mesh,
+):
+    """LSTM-PPO variant of `make_sharded_ppo_step`: the recurrent carry is
+    sharded with the env batch (each shard owns its envs' hidden state)."""
+    from surreal_tpu.algos import ppo_lstm
+
+    def step(state, env_state, obs, carry, ep_ret, key):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard_id)
+        state, env_state, obs, carry, ep_ret, metrics = ppo_lstm.train_step(
+            cfg, apply_fn, env_step, flatten_obs,
+            state, env_state, obs, carry, ep_ret, key, axis_name=DATA_AXIS,
+        )
+        metrics = {
+            k: (jax.lax.psum(v, DATA_AXIS) if k in ("episodes_done", "episode_return_sum")
+                else jax.lax.pmean(v, DATA_AXIS))
+            for k, v in metrics.items()
+        }
+        return state, env_state, obs, carry, ep_ret, metrics
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1, 2, 3, 4))
+
+
 def make_sharded_ppo_step(
     cfg: ppo.PPOConfig,
     apply_fn: Callable,

@@ -29,6 +29,7 @@ class DDPGTrainer:
         compute_dtype=jnp.float32,
         env_kwargs: dict | None = None,
         debug_checks: bool = False,
+        mesh=None,  # jax.sharding.Mesh -> data-parallel sharded train step
     ):
         self.cfg = cfg or ddpg.DDPGConfig()
         self.env = make_env(env_name, **(env_kwargs or {}))
@@ -54,6 +55,43 @@ class DDPGTrainer:
         self.obs = env_base.flatten_obs(ts0.obs)
         self.ou_state = jnp.zeros((num_envs, act_dim))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
+        self.global_iter = 0  # lifetime iteration count (survives checkpoint)
+
+        self.mesh = mesh
+        if mesh is not None:
+            # Data-parallel path: device-LOCAL replay shards + env batch on
+            # the `data` axis, pmean'd gradients (SURVEY.md §2D replay
+            # sharding — the reference's hash-routed replay servers).
+            if debug_checks:
+                raise ValueError("debug_checks is single-device only")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from surreal_tpu.parallel.dp import (
+                make_sharded_ddpg_step, replicate, shard_env_batch,
+            )
+            from surreal_tpu.parallel.mesh import DATA_AXIS, data_axis_size
+
+            shards = data_axis_size(mesh)
+            if num_envs % shards != 0:
+                raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
+            build = make_sharded_ddpg_step(
+                self.cfg, self.actor.apply, self.critic.apply, step_fn,
+                env_base.flatten_obs, mesh,
+            )
+            self._train_step = build(self.replay)
+            # replay arrays are (T_cap, B, ...): shard on the env axis.
+            rsharding = NamedSharding(mesh, P(None, DATA_AXIS))
+            self.replay = type(self.replay)(
+                data=jax.tree.map(lambda x: jax.device_put(x, rsharding), self.replay.data),
+                total=jax.device_put(self.replay.total, NamedSharding(mesh, P())),
+            )
+            self.state = replicate(mesh, self.state)
+            self.sigma = shard_env_batch(mesh, self.sigma)
+            self.env_state = shard_env_batch(mesh, self.env_state)
+            self.obs = shard_env_batch(mesh, self.obs)
+            self.ou_state = shard_env_batch(mesh, self.ou_state)
+            self.ep_ret = shard_env_batch(mesh, self.ep_ret)
+            return
 
         if debug_checks:  # sanitizer mode: checkify NaN/Inf + kernel hooks
             from surreal_tpu.utils import guards
@@ -76,6 +114,26 @@ class DDPGTrainer:
     def steps_per_iteration(self) -> int:
         return self.cfg.rollout_steps * self.num_envs
 
+    # ---- full-state checkpointing (SURVEY.md §5): replay buffer contents
+    # and cursor, exploration state, env batch, RNG, counters ----
+    @property
+    def full_state(self) -> dict:
+        return dict(
+            state=self.state, replay=self.replay, env_state=self.env_state,
+            obs=self.obs, ou_state=self.ou_state, ep_ret=self.ep_ret,
+            key=self.key, global_iter=jnp.asarray(self.global_iter, jnp.int32),
+        )
+
+    def load_full_state(self, fs: dict) -> None:
+        self.state = fs["state"]
+        self.replay = fs["replay"]
+        self.env_state = fs["env_state"]
+        self.obs = fs["obs"]
+        self.ou_state = fs["ou_state"]
+        self.ep_ret = fs["ep_ret"]
+        self.key = fs["key"]
+        self.global_iter = int(fs["global_iter"])
+
     def run(self, iterations: int, log_every: int = 50, metric_sink: Callable | None = None):
         logs = []
         ep_ret_acc = jnp.zeros(())
@@ -92,6 +150,7 @@ class DDPGTrainer:
             )
             ep_ret_acc = ep_ret_acc + metrics["episode_return_sum"]
             ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
+            self.global_iter += 1
             if it % log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 bad = [k for k, v in m.items() if not np.isfinite(v)]
@@ -103,8 +162,8 @@ class DDPGTrainer:
                 m.pop("episodes_done")
                 cnt = float(ep_cnt_acc)
                 dt = time.perf_counter() - t0
-                m["iteration"] = it
-                m["env_steps"] = it * self.steps_per_iteration
+                m["iteration"] = self.global_iter
+                m["env_steps"] = self.global_iter * self.steps_per_iteration
                 m["updates"] = int(self.state.update_step)
                 m["env_steps_per_s"] = log_every * self.steps_per_iteration / dt
                 if cnt > 0:

@@ -39,6 +39,7 @@ class PPOTrainer:
         lstm_size: int = 128,
         env_kwargs: dict | None = None,
         debug_checks: bool = False,
+        mesh=None,  # jax.sharding.Mesh -> data-parallel sharded train step
     ):
         cfg = cfg or ppo.PPOConfig()
         env_kwargs = dict(env_kwargs or {})
@@ -81,6 +82,35 @@ class PPOTrainer:
             params = self.net.init(k_init, self.obs[:1])
         self.state = ppo.init_state(self.cfg, params, max(obs_dim, 1))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
+        self.global_iter = 0  # lifetime iteration count (survives checkpoint)
+
+        self.mesh = mesh
+        if mesh is not None:
+            # Data-parallel path (reference's actor fleet + param broadcast,
+            # SURVEY.md §2D): env batch sharded over the `data` axis, params
+            # replicated via pmean'd gradients.
+            if debug_checks:
+                raise ValueError("debug_checks is single-device only")
+            from surreal_tpu.parallel.dp import (
+                make_sharded_ppo_lstm_step,
+                make_sharded_ppo_step,
+                replicate,
+                shard_env_batch,
+            )
+            from surreal_tpu.parallel.mesh import data_axis_size
+
+            shards = data_axis_size(mesh)
+            if num_envs % shards != 0:
+                raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
+            maker = make_sharded_ppo_lstm_step if use_lstm else make_sharded_ppo_step
+            self._train_step = maker(self.cfg, self.net.apply, step_fn, self._flatten, mesh)
+            self.state = replicate(mesh, self.state)
+            self.env_state = shard_env_batch(mesh, self.env_state)
+            self.obs = shard_env_batch(mesh, self.obs)
+            self.ep_ret = shard_env_batch(mesh, self.ep_ret)
+            if use_lstm:
+                self.carry = shard_env_batch(mesh, self.carry)
+            return
 
         if debug_checks:  # sanitizer mode: checkify NaN/Inf + kernel hooks
             from surreal_tpu.utils import guards
@@ -107,6 +137,29 @@ class PPOTrainer:
     def steps_per_iteration(self) -> int:
         return self.cfg.horizon * self.num_envs
 
+    # ---- full-state checkpointing (SURVEY.md §5: params, opt_state,
+    # Z-filter, env-batch RNG + env state + step counters all survive) ----
+    @property
+    def full_state(self) -> dict:
+        fs = dict(
+            state=self.state, env_state=self.env_state, obs=self.obs,
+            ep_ret=self.ep_ret, key=self.key,
+            global_iter=jnp.asarray(self.global_iter, jnp.int32),
+        )
+        if self.use_lstm:
+            fs["carry"] = self.carry
+        return fs
+
+    def load_full_state(self, fs: dict) -> None:
+        self.state = fs["state"]
+        self.env_state = fs["env_state"]
+        self.obs = fs["obs"]
+        self.ep_ret = fs["ep_ret"]
+        self.key = fs["key"]
+        self.global_iter = int(fs["global_iter"])
+        if self.use_lstm:
+            self.carry = fs["carry"]
+
     def run(self, iterations: int, log_every: int = 10, metric_sink: Callable | None = None):
         """Returns list of host-side metric dicts (one per log interval)."""
         logs = []
@@ -129,6 +182,7 @@ class PPOTrainer:
                 )
             ep_ret_acc = ep_ret_acc + metrics["episode_return_sum"]
             ep_cnt_acc = ep_cnt_acc + metrics["episodes_done"]
+            self.global_iter += 1
             if it % log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 bad = [k for k, v in m.items() if not np.isfinite(v)]
@@ -140,8 +194,8 @@ class PPOTrainer:
                 m.pop("episodes_done")
                 cnt = float(ep_cnt_acc)
                 dt = time.perf_counter() - t0
-                m["iteration"] = it
-                m["env_steps"] = it * self.steps_per_iteration
+                m["iteration"] = self.global_iter
+                m["env_steps"] = self.global_iter * self.steps_per_iteration
                 m["env_steps_per_s"] = log_every * self.steps_per_iteration / dt
                 if cnt > 0:
                     m["episode_return"] = float(ep_ret_acc) / cnt

@@ -84,3 +84,69 @@ def test_cli_end_to_end(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     result = json.loads(out2.stdout.strip().splitlines()[-1])
     assert np.isfinite(result["return_mean"])
+
+
+def _train_cmd(tmp_path, name, total_steps, extra=()):
+    return [
+        sys.executable, "-m", "surreal_tpu.cli.main", "train", "ppo",
+        "--env.env_name", "cartpole-balance", "--env.num_envs", "8",
+        "--learner.horizon", "8", "--learner.hidden", "[16,16]",
+        "--learner.num_minibatches", "1",
+        "--session.total_env_steps", str(total_steps),
+        "--session.eval_every_steps", str(total_steps),
+        "--session.checkpoint_every_steps", "128",
+        "--session.eval_episodes", "2",
+        "--session.results_dir", str(tmp_path),
+        "--session.experiment_name", name,
+        *extra,
+    ]
+
+
+@pytest.mark.slow
+def test_cli_kill_and_resume(tmp_path):
+    """A killed run resumes from the latest FULL-state checkpoint: the step
+    counter continues (no restart from 0) and training reaches the target
+    (SURVEY.md §5 checkpoint/resume; reference --restore semantics)."""
+    env = dict(os.environ, SURREAL_TPU_PLATFORM="cpu")
+    # phase 1: run to 256 env-steps (4 iters of 64), checkpoints at 128/256
+    out = subprocess.run(_train_cmd(tmp_path, "r", 256), env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    # phase 2: same experiment, target extended to 512 -> must RESUME, not
+    # restart (restore='auto' picks up the latest checkpoint)
+    out2 = subprocess.run(_train_cmd(tmp_path, "r", 512), env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "resumed from checkpoint @ 256" in out2.stderr
+    steps = [int(s) for s in os.listdir(tmp_path / "r" / "checkpoints" / "latest")
+             if s.isdigit()]
+    assert max(steps) == 512, steps
+    # and the resumed run continued counting iterations (iter 4 -> 8),
+    # i.e. replayed nothing and restarted nothing
+    assert "(iter 4)" in out2.stderr
+    # restore=false starts fresh (no resume line)
+    out3 = subprocess.run(
+        _train_cmd(tmp_path, "r", 256, extra=("--session.restore", "false")),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert "resumed from checkpoint" not in out3.stderr
+
+
+@pytest.mark.slow
+def test_cli_sharded_mesh_train(tmp_path):
+    """--session.mesh.data 8 trains data-parallel on the 8-device virtual
+    CPU mesh end-to-end through the CLI (SURVEY.md §1 L6, §2D wiring)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    env = dict(os.environ, SURREAL_TPU_PLATFORM="cpu")
+    out = subprocess.run(
+        _train_cmd(tmp_path, "m", 256, extra=("--session.mesh.data", "8")),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    out2 = subprocess.run(
+        [sys.executable, "-m", "surreal_tpu.cli.main", "eval",
+         "--experiment", str(tmp_path / "m"), "--episodes", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    result = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["return_mean"])

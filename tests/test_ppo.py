@@ -131,3 +131,53 @@ def test_cartpole_learns():
     logs = tr.run(120, log_every=30)
     best = max(m.get("episode_return", 0.0) for m in logs)
     assert best > 600, f"best episode return {best}"
+
+
+def test_publish_every_param_staleness():
+    """cfg.publish_every>1 reproduces the reference's pub-sub lag: actors
+    act on a snapshot refreshed every K learner updates (SURVEY.md §2D,
+    surreal/distributed/ps)."""
+    from surreal_tpu.envs import base as env_base
+    from surreal_tpu.envs import make_env
+    from surreal_tpu.models.actor_critic import PPOActorCritic
+
+    env = make_env("cartpole-balance")
+    net = PPOActorCritic(action_dim=env.action_dim, hidden=(16, 16))
+    obs_dim = env_base.obs_flat_dim(env)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)))
+    reset_fn, step_fn = env_base.vectorize(env)
+    env_state, ts0 = jax.jit(reset_fn)(jax.random.split(jax.random.PRNGKey(1), 4))
+    obs = env_base.flatten_obs(ts0.obs)
+    ep_ret = jnp.zeros((4,), jnp.float32)
+
+    cfg = ppo.PPOConfig(horizon=6, epochs=1, num_minibatches=1, publish_every=3)
+    state = ppo.init_state(cfg, params, obs_dim)
+    step = jax.jit(
+        lambda s, es, o, r, k: ppo.train_step(
+            cfg, net.apply, step_fn, env_base.flatten_obs, s, es, o, r, k
+        )
+    )
+    p0 = jax.tree.leaves(params)[0].copy()
+    s, es, o, r = state, env_state, obs, ep_ret
+    for i in range(2):
+        s, es, o, r, metrics = step(s, es, o, r, jax.random.PRNGKey(i))
+        # learner moved, actor snapshot still at version 0 == init params
+        assert int(s.psync.version) == 0
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(s.psync.actor_params)[0]), np.asarray(p0)
+        )
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(s.params)[0]), np.asarray(p0)
+        )
+    s, es, o, r, metrics = step(s, es, o, r, jax.random.PRNGKey(2))
+    # 3rd update: published — snapshot adopts live params
+    assert int(s.psync.version) == 3
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(s.psync.actor_params)[0]),
+        np.asarray(jax.tree.leaves(s.params)[0]),
+    )
+
+    # publish_every=1 keeps today's zero-staleness semantics (psync is None)
+    cfg1 = ppo.PPOConfig(horizon=6, epochs=1, num_minibatches=1, publish_every=1)
+    s1 = ppo.init_state(cfg1, params, obs_dim)
+    assert s1.psync is None

@@ -69,3 +69,21 @@ def test_sharded_ddpg_runs():
     assert all(np.isfinite(v) for v in jax.tree.leaves(m))
     assert int(state.update_step) > 0  # updates happened after warmup
     assert int(replay.total) == 16  # 4 iters x 4 rollout steps
+
+
+def test_ddpg_trainer_with_mesh():
+    """Trainer-level product path: DDPGTrainer(mesh=...) — what the CLI
+    builds for --session.mesh.data N (replay sharded on the env axis)."""
+    from surreal_tpu.train import DDPGTrainer
+
+    mesh = make_mesh(data=8)
+    cfg = ddpg.DDPGConfig(
+        rollout_steps=4, updates_per_iteration=2, batch_size=16,
+        min_replay=32, replay_capacity=2048,
+    )
+    tr = DDPGTrainer("cartpole-balance", cfg, num_envs=16, seed=0,
+                     actor_hidden=(16, 16), critic_hidden=(16, 16), mesh=mesh)
+    logs = tr.run(4, log_every=2)
+    assert all(np.isfinite(v) for m in logs for v in m.values() if isinstance(v, float))
+    ev = tr.evaluate(episodes=2)
+    assert np.isfinite(ev["return_mean"])
