@@ -14,6 +14,14 @@ Gradients are not required (advantages/targets are stop-gradient inputs to
 the PPO loss), so no custom VJP is needed. `gae(..., backend=...)` in
 surreal_tpu.ops.returns dispatches between this kernel and the
 associative-scan XLA path; tests compare both (interpret mode on CPU).
+
+MEASURED VERDICT (round 2, real TPU v5 lite, results/kernels_r2.txt): at
+the production shape (T=128, B=256) XLA's associative scan wins — 30.2 us
+vs 40.9 us for this kernel (the array is 128 KB; both are latency-bound
+and the sequential T-step loop can't beat XLA's log-depth scan). The
+kernel lowers and matches numerically (6.7e-6); `backend='xla'` stays the
+default. Revisit at T >= 1k horizons where the scan's extra passes over
+HBM would start to matter.
 """
 
 from __future__ import annotations
@@ -31,18 +39,21 @@ LANES = 128
 def _gae_kernel(gamma, lam, r_ref, v_ref, nv_ref, disc_ref, done_ref, adv_ref, vtg_ref):
     T = r_ref.shape[0]
     # Fused elementwise prologue (VPU): delta and the chain coefficient.
+    # Staged through the OUTPUT refs (adv <- delta, vtg <- coef) because
+    # Mosaic only supports dynamic (loop-index) slicing on refs, not on
+    # materialized vector values.
     disc = disc_ref[:]
-    delta = r_ref[:] + gamma * disc * nv_ref[:] - v_ref[:]
-    coef = (gamma * lam) * disc * (1.0 - done_ref[:])
+    adv_ref[:] = r_ref[:] + gamma * disc * nv_ref[:] - v_ref[:]
+    vtg_ref[:] = (gamma * lam) * disc * (1.0 - done_ref[:])
 
-    # Reverse scan over time in VMEM.
+    # Reverse scan over time in VMEM: adv[t] = delta[t] + coef[t]*adv[t+1].
     def body(i, carry):
         t = T - 1 - i
-        a = delta[t, :] + coef[t, :] * carry
+        a = adv_ref[t, :] + vtg_ref[t, :] * carry
         adv_ref[t, :] = a
         return a
 
-    carry = jax.lax.fori_loop(0, T, body, jnp.zeros_like(delta[0, :]))
+    carry = jax.lax.fori_loop(0, T, body, jnp.zeros_like(adv_ref[0, :]))
     del carry
     vtg_ref[:] = adv_ref[:] + v_ref[:]
 

@@ -12,6 +12,15 @@ The jnp reference implementation lives in `surreal_tpu.algos.ppo._loss_fn`;
 interpret mode) for the 'clip' objective. The adaptive-KL objective keeps
 the jnp path.
 
+MEASURED VERDICT (round 2, real TPU v5 lite, results/kernels_r2.txt): at
+the production minibatch (N=4096, A=6, 256x256 MLP) the full
+value_and_grad step is 425 us with the jnp loss vs 494 us fused — XLA
+already fuses the elementwise loss into the network fwd/bwd epilogues,
+while pallas_call forces mean/log_std/value through an HBM materialization
+boundary. Gradients match autodiff EXACTLY (max|diff| 0.0 on chip).
+`fused_loss=False` stays the default; the kernel remains available and
+CI-tested for larger models where the loss tail stops fitting the epilogue.
+
 All (N,)-shaped per-sample arrays ride in the sublane dimension as
 (TILE, 1) blocks; the small action axis sits in the lanes.
 """
@@ -62,8 +71,16 @@ def _fwd_kernel(clip_eps, mean_ref, ls_ref, v_ref, a_ref, lp_old_ref,
                  keepdims=True)
     clip_frac = (jnp.abs(ratio - 1.0) > clip_eps).astype(surr.dtype)
 
+    # Scalar accumulator in SMEM, revisited by every grid step (constant
+    # index_map keeps the block resident); zero on the first step, then
+    # accumulate per-tile sums. VMEM cannot take scalar stores on Mosaic.
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for k in range(_NSUMS):
+            sums_ref[k] = jnp.zeros((), surr.dtype)
+
     for k, val in enumerate((surr, vloss, ent, kl, clip_frac)):
-        sums_ref[0, k] = jnp.sum(val)
+        sums_ref[k] += jnp.sum(val)
 
 
 def _bwd_kernel(clip_eps, value_coef, entropy_coef, inv_n,
@@ -115,12 +132,12 @@ def _fwd_call(clip_eps, interpret, args):
         functools.partial(_fwd_kernel, mean.dtype.type(clip_eps)),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, _NSUMS), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N // TILE, _NSUMS), mean.dtype),
+        out_specs=pl.BlockSpec((_NSUMS,), lambda i: (0,),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((_NSUMS,), mean.dtype),
         interpret=interpret,
     )(*args)
-    return jnp.sum(sums, 0) / N  # [surr, vloss, ent, kl, clip_frac] means
+    return sums / N  # [surr, vloss, ent, kl, clip_frac] means
 
 
 @functools.partial(
