@@ -191,6 +191,18 @@ def _quat_to_mat(q):
     )
 
 
+def mj_flip_flags(m, normal: int) -> list[bool]:
+    """Per-mj-body 'frame is mirrored' flags (index 0 = world, always
+    False): True when the cumulative qpos0 orientation flips the plane
+    normal. Mirrors the canonicalization inside `from_mujoco`; used by
+    bake-time site/metadata extraction so site positions live in the same
+    canonical frames as the baked model constants."""
+    A = [np.eye(3)]
+    for b in range(1, m.nbody):
+        A.append(A[m.body_parentid[b]] @ _quat_to_mat(m.body_quat[b]))
+    return [bool(Ab[normal, normal] < 0) for Ab in A]
+
+
 def from_mujoco(
     m, contact_bodies: str = "all", pair_collisions: bool = False
 ) -> PlanarModel:
@@ -248,15 +260,43 @@ def from_mujoco(
     def bid(mj_body):  # mujoco body id -> planar body index
         return mj_body - 1
 
-    def planar_angle(quat):
-        """In-plane rotation angle of a quaternion about the plane normal,
-        in the engine's R(θ) convention (mirrored for the xy plane)."""
-        w, qx, qy, qz = quat
-        comp = {0: qx, 1: qy, 2: qz}[normal]
-        others = [v for ax, v in ((0, qx), (1, qy), (2, qz)) if ax != normal]
-        assert all(abs(o) < 1e-8 for o in others), f"non-planar body quat {quat}"
-        ang = 2.0 * float(np.arctan2(comp, w))
-        return ang if normal == 1 else -ang
+    # --- frame canonicalization: MIRRORED body frames -> rotations ---
+    # Some models (dm_control manipulator's `finger`, euler="0 90 180")
+    # attach bodies with a frame whose in-plane 2x2 block is a REFLECTION
+    # (the cumulative rotation flips the plane normal). The planar engine
+    # only represents rotations, so such frames are canonicalized offline:
+    # post-multiply every flipped body's frame by S = diag(1,-1,-1) (a 180°
+    # rotation about x — det +1), which restores +normal while re-expressing
+    # all body-local constants p as S @ p and flipping local hinge senses.
+    # This is exact: C_b = A_b @ S_b is a pure in-plane rotation, and every
+    # local quantity is mapped through the accompanying change of basis.
+    S_FLIP = np.diag([1.0, -1.0, -1.0])
+    A = [np.eye(3)]  # cumulative body orientation at qpos=0; index 0 = world
+    for b in range(1, m.nbody):
+        A.append(A[m.body_parentid[b]] @ _quat_to_mat(m.body_quat[b]))
+    flipped = [False]  # world
+    for b in range(1, m.nbody):
+        nn = A[b][normal, normal]
+        assert abs(abs(nn) - 1.0) < 1e-6, f"non-planar cumulative frame, body {b}"
+        flipped.append(nn < 0)
+
+    def S_of(mj_body: int) -> np.ndarray:
+        return S_FLIP if flipped[mj_body] else np.eye(3)
+
+    def planar_angle_of_body(b: int) -> float:
+        """Canonicalized local angle of mj body b relative to its parent:
+        angle of S_parent @ R_local @ S_b, which has det +1 by construction."""
+        M = S_of(m.body_parentid[b]) @ _quat_to_mat(m.body_quat[b]) @ S_of(b)
+        # must be a pure rotation about the plane normal
+        for ax in range(3):
+            if ax != normal:
+                assert abs(M[normal, ax]) < 1e-6 and abs(M[ax, normal]) < 1e-6, (
+                    f"non-planar body frame after canonicalization, body {b}:\n{M}"
+                )
+        if normal == 1:  # Ry(phi): [[c,0,s],[0,1,0],[-s,0,c]]
+            return float(np.arctan2(M[0, 2], M[0, 0]))
+        # xy plane, Rz(psi): engine convention carries the NEGATED angle
+        return float(-np.arctan2(M[1, 0], M[0, 0]))
 
     parent = []
     body_pos = np.zeros((nb, 2))
@@ -267,10 +307,10 @@ def from_mujoco(
     for b in range(1, m.nbody):
         i = bid(b)
         parent.append(bid(m.body_parentid[b]) if m.body_parentid[b] > 0 else -1)
-        body_angle[i] = planar_angle(m.body_quat[b])
-        body_pos[i] = m.body_pos[b][cols]
+        body_angle[i] = planar_angle_of_body(b)
+        body_pos[i] = (S_of(m.body_parentid[b]) @ m.body_pos[b])[cols]
         mass[i] = m.body_mass[b]
-        com[i] = m.body_ipos[b][cols]
+        com[i] = (S_of(b) @ m.body_ipos[b])[cols]
         # Inertia about the plane normal, in the body frame (invariant to
         # the in-plane body_angle rotation).
         R = _quat_to_mat(m.body_iquat[b])
@@ -283,8 +323,9 @@ def from_mujoco(
     dof_axis = np.zeros((nv, 2))
     dof_anchor = np.zeros((nv, 2))
     for j in range(m.njnt):
-        dof_body.append(bid(m.jnt_bodyid[j]))
-        ax = m.jnt_axis[j]
+        jb = int(m.jnt_bodyid[j])
+        dof_body.append(bid(jb))
+        ax = S_of(jb) @ m.jnt_axis[j]
         if m.jnt_type[j] == mujoco.mjtJoint.mjJNT_SLIDE:
             dof_type.append(SLIDE)
             assert abs(ax[normal]) < 1e-8, f"slide axis out of plane: {ax}"
@@ -294,7 +335,7 @@ def from_mujoco(
             in_plane = [ax[c] for c in cols]
             assert all(abs(a) < 1e-8 for a in in_plane), f"hinge axis in plane: {ax}"
             dof_axis[j] = np.array([hinge_sign(ax), 0.0])
-            dof_anchor[j] = m.jnt_pos[j][cols]
+            dof_anchor[j] = (S_of(jb) @ m.jnt_pos[j])[cols]
         else:
             raise AssertionError(f"unsupported joint type {m.jnt_type[j]}")
 
@@ -326,12 +367,12 @@ def from_mujoco(
         ct, ca = int(m.geom_contype[g]), int(m.geom_conaffinity[g])
         if not ((ct & floor_conaff) or (floor_contype & ca)):
             continue
-        gpos = m.geom_pos[g][cols]
+        gpos = (S_of(b) @ m.geom_pos[g])[cols]
         if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_CAPSULE:
             r, half = float(m.geom_size[g][0]), float(m.geom_size[g][1])
             # Capsule axis = geom-frame local z in the body frame; must lie
             # in the plane (an out-of-plane component would be 3-D).
-            axis3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
+            axis3 = S_of(b) @ _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
             assert abs(axis3[normal]) < 1e-8, f"capsule axis out of plane: {axis3}"
             d = axis3[cols] * half
             pts = [gpos + d, gpos - d]
@@ -358,10 +399,10 @@ def from_mujoco(
         ct, ca = int(m.geom_contype[g]), int(m.geom_conaffinity[g])
         if ct == 0 and ca == 0:
             continue
-        gpos = m.geom_pos[g][cols]
+        gpos = (S_of(b) @ m.geom_pos[g])[cols]
         if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_CAPSULE:
             r, half = float(m.geom_size[g][0]), float(m.geom_size[g][1])
-            axis3 = _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
+            axis3 = S_of(b) @ _quat_to_mat(m.geom_quat[g]) @ np.array([0.0, 0.0, 1.0])
             assert abs(axis3[normal]) < 1e-8, f"capsule axis out of plane: {axis3}"
             d = axis3[cols] * half
             p0, p1 = gpos + d, gpos - d
@@ -410,7 +451,7 @@ def from_mujoco(
             for s in sids:
                 sb = int(m.site_bodyid[s])
                 bodies.append(bid(sb) if sb > 0 else -1)
-                poses.append(m.site_pos[s][cols])
+                poses.append((S_of(sb) @ m.site_pos[s])[cols])
             rope_body.append(bodies)
             rope_pos.append(poses)
             rope_max.append(float(m.tendon_range[t, 1]))

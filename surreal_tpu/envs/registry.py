@@ -56,6 +56,9 @@ def _builtin():
     register("finger-spin", lambda **kw: Finger(task="spin", **kw))
     register("finger-turn_easy", lambda **kw: Finger(task="turn", target_radius=0.07, **kw))
     register("finger-turn_hard", lambda **kw: Finger(task="turn", target_radius=0.03, **kw))
+    from surreal_tpu.envs.manipulator import ManipulatorBringBall
+
+    register("manipulator-bring_ball", lambda **kw: ManipulatorBringBall(**kw))
 
 
 def make_env(name: str, **kwargs) -> Environment:

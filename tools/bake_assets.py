@@ -62,13 +62,17 @@ def bake_manipulator():
             mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_BODY, b) or ""
             for b in range(1, mj.nbody)
         ]
+        flips = pmodel.mj_flip_flags(mj, normal=1)  # xz-plane domain
+        S = np.diag([1.0, -1.0, -1.0])
         site_names, site_body, site_pos = [], [], []
         for s in range(mj.nsite):
             site_names.append(
                 mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_SITE, s) or ""
             )
-            site_body.append(int(mj.site_bodyid[s]) - 1)
-            site_pos.append(mj.site_pos[s][[0, 2]])
+            sb = int(mj.site_bodyid[s])
+            site_body.append(sb - 1)
+            p = S @ mj.site_pos[s] if flips[sb] else mj.site_pos[s]
+            site_pos.append(p[[0, 2]])
         joint_names = [
             mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_JOINT, j) or ""
             for j in range(mj.njnt)
