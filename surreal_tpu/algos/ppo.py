@@ -71,6 +71,12 @@ class PPOConfig:
     # surreal/distributed/ps: learner publishes every K updates; actors act
     # on the last published snapshot). 1 = fully fused zero-staleness.
     publish_every: int = 1
+    # ZeRO-style sharded optimizer state (SURVEY.md §2D learner-DP):
+    # Adam moments 1/K-sharded over the data mesh axis. Set zero_shards to
+    # the data-axis size (PPOTrainer(mesh=...) does this automatically when
+    # zero_optimizer=True); the unsharded trainer ignores it.
+    zero_optimizer: bool = False
+    zero_shards: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -106,10 +112,21 @@ class Trajectory:
     done: jax.Array
 
 
-def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: PPOConfig, axis_name: str | None = None
+) -> optax.GradientTransformation:
+    if cfg.zero_optimizer and cfg.zero_shards > 1:
+        # lazy import: surreal_tpu.parallel.__init__ imports this module
+        from surreal_tpu.parallel.zero import scale_by_zero_adam
+
+        adam = scale_by_zero_adam(
+            cfg.zero_shards, axis_name or "data", eps=1e-5
+        )  # init() never touches the axis; update() runs inside shard_map
+    else:
+        adam = optax.scale_by_adam(eps=1e-5)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.scale_by_adam(eps=1e-5),
+        adam,
         optax.scale(-1.0),  # lr applied manually (lr_scale is dynamic state)
     )
 
@@ -289,7 +306,7 @@ def update(
     `pmean`ed across shards — the ICI replacement for the reference's
     parameter-server broadcast."""
     T, B = traj.reward.shape
-    opt = make_optimizer(cfg)
+    opt = make_optimizer(cfg, axis_name)
 
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x

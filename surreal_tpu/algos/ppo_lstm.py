@@ -126,7 +126,7 @@ def _sequence_outputs(cfg, apply_fn, params, obs_seq, done_seq, init_carry):
 
 def update(cfg, apply_fn, state, traj: LSTMTrajectory, key, axis_name=None):
     T, B = traj.reward.shape
-    opt = make_optimizer(cfg)
+    opt = make_optimizer(cfg, axis_name)
 
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x

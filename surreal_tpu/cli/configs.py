@@ -61,6 +61,7 @@ PPO_BASE_LEARNER_CONFIG = Config(
     kl_beta_init=1.0,
     fused_loss=False,
     publish_every=1,  # actor param staleness (reference's pub-sub lag)
+    zero_optimizer=False,  # shard Adam moments over the data axis (ZeRO-1)
     use_lstm=False,
     lstm_size=128,
     hidden=[256, 256],
@@ -113,7 +114,7 @@ def to_algo_config(learner: Config):
             "lr", "entropy_coef", "value_coef", "max_grad_norm", "normalize_adv",
             "use_zfilter", "objective", "kl_target", "adapt_lr",
             "lr_adapt_factor", "lr_min_scale", "lr_max_scale", "kl_beta_init",
-            "fused_loss", "publish_every",
+            "fused_loss", "publish_every", "zero_optimizer",
         ]
         return PPOConfig(**{k: learner[k] for k in keys})
     elif learner.algo == "ddpg":

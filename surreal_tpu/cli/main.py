@@ -138,22 +138,31 @@ def cmd_train(algo: str, overrides: dict) -> int:
         session.experiment_name, algo, env_cfg.env_name, total_iters, steps_per_iter,
     )
 
+    # Periodic triggers + smoothed throughput (the reference's session
+    # trackers, surreal/session/tracker.py — SURVEY.md §2 trackers row).
+    from surreal_tpu.utils.trackers import PeriodicTracker, ThroughputTracker
+
+    start_steps = trainer.global_iter * steps_per_iter
+    eval_trk = PeriodicTracker(eval_every * steps_per_iter, init_count=start_steps)
+    ckpt_trk = PeriodicTracker(ckpt_every * steps_per_iter, init_count=start_steps)
+    thru = ThroughputTracker()
+
+    def sink(m):
+        m["env_steps_per_s_smoothed"] = thru.update(m["env_steps"])
+        tb.write(int(m["env_steps"]), m)
+
     while trainer.global_iter < total_iters:
         n = min(seg, total_iters - trainer.global_iter)
-        trainer.run(
-            n,
-            log_every=int(session.log_every_iterations),
-            metric_sink=lambda m: tb.write(int(m["env_steps"]), m),
-        )
-        done_iters = trainer.global_iter
-        env_steps = done_iters * steps_per_iter
+        trainer.run(n, log_every=int(session.log_every_iterations), metric_sink=sink)
+        env_steps = trainer.global_iter * steps_per_iter
+        finished = trainer.global_iter >= total_iters
         score = None
-        if (done_iters % eval_every == 0) or done_iters >= total_iters:
+        if eval_trk.track(env_steps) or finished:
             ev = trainer.evaluate(episodes=int(session.eval_episodes))
             score = ev["return_mean"]
             tb.write(env_steps, ev, section="eval")
             log.info("eval @ %.2e steps: %.1f ± %.1f", env_steps, ev["return_mean"], ev["return_std"])
-        if (done_iters % ckpt_every == 0) or done_iters >= total_iters:
+        if ckpt_trk.track(env_steps) or finished:
             ckpt.save(env_steps, trainer.full_state, score=score)
     ckpt.close()
     tb.close()

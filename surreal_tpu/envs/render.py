@@ -22,13 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from surreal_tpu.envs.physics import engine
-from surreal_tpu.envs.physics.model import PlanarModel
+from surreal_tpu.envs.physics.model import SLIDE, PlanarModel
 
 
 def _geom_segments(m: PlanarModel):
     """Static per-geom data from the contact candidates: we re-derive
-    segments from con_pos pairs when available; fall back to per-body COM
-    points. Returns (body_idx (G,), p0 (G,2), p1 (G,2), radius (G,))."""
+    segments from con_pos pairs when available; for contact-disabled models
+    (cartpole/pendulum/acrobot) fall back to a link skeleton synthesized
+    from the body tree. Returns (body_idx (G,), p0 (G,2), p1 (G,2),
+    radius (G,))."""
+    if m.ncon == 0:
+        return _skeleton_segments(m)
     # con_pos holds capsule endpoints (two consecutive entries per capsule
     # geom, same body, same radius) — see model.from_mujoco.
     pts = m.con_pos
@@ -54,14 +58,33 @@ def _geom_segments(m: PlanarModel):
     return b, p0, p1, r
 
 
+def _skeleton_segments(m: PlanarModel):
+    """Stick-figure render geoms for models with contacts disabled: each
+    body draws origin → 2·COM (a uniform link's far end) plus a connector
+    to every child's frame origin — behaviorally equivalent pixels (the
+    conv policy needs pose contrast, not MuJoCo's exact materials)."""
+    segs = []
+    for b in range(m.nb):
+        com = np.asarray(m.com[b], float)
+        end = 2.0 * com
+        if np.linalg.norm(end) < 1e-6:  # point body (e.g. the cart)
+            end = np.array([0.0, 0.0])
+            segs.append((b, np.array([-0.1, 0.0]), np.array([0.1, 0.0]), 0.05))
+        else:
+            segs.append((b, np.zeros(2), end, 0.045))
+        for c in range(m.nb):
+            if m.parent[c] == b and np.linalg.norm(m.body_pos[c]) > 1e-6:
+                segs.append((b, np.zeros(2), np.asarray(m.body_pos[c], float), 0.04))
+    b = np.array([s[0] for s in segs])
+    return (b, np.array([s[1] for s in segs]), np.array([s[2] for s in segs]),
+            np.array([s[3] for s in segs]))
+
+
 def make_renderer(m: PlanarModel, height: int = 84, width: int = 84, half_extent: float = 1.2):
     """Returns `render(q) -> (H, W, 3) uint8` for one env state (vmap over
-    a batch). The model is closed over (compile-time constant). Requires
-    the model to carry contact capsule geoms (cheetah/walker; the cartpole
-    model has contacts disabled and no render geoms — use the host oracle
-    renderer for it)."""
-    if m.ncon == 0:
-        raise ValueError("model has no renderable capsule geoms (see docstring)")
+    a batch). The model is closed over (compile-time constant). Contact
+    models render their capsule geoms; contact-disabled models (cartpole,
+    pendulum, acrobot) render a body-tree stick figure."""
     gb, gp0, gp1, gr = _geom_segments(m)
 
     def render(q):
@@ -80,7 +103,18 @@ def _render(m, q, gb, gp0, gp1, gr, height, width, half_extent):
     R = jnp.asarray(gr, dtype)
 
     cx = pos[0, 0]  # camera follows root body x
-    cz = jnp.asarray(np.float32(0.6 * half_extent))
+    # Free-floating locomotion roots (a z-slide dof on body 0: cheetah,
+    # walker, hopper) get a fixed ground-relative camera height; fixed-base
+    # models (cartpole, pendulum, acrobot, manipulation) are framed on the
+    # root/pivot, which is static for them.
+    root_floats = any(
+        m.dof_body[j] == 0 and m.dof_type[j] == SLIDE and abs(m.dof_axis[j][1]) > 1e-8
+        for j in range(m.nv)
+    )
+    if root_floats:
+        cz = jnp.asarray(np.float32(0.6 * half_extent))
+    else:
+        cz = pos[0, 1]
     xs = cx + jnp.linspace(-half_extent, half_extent, width, dtype=dtype)
     zs = cz + jnp.linspace(half_extent, -half_extent, height, dtype=dtype)
     px = jnp.broadcast_to(xs[None, :], (height, width))

@@ -28,6 +28,27 @@ def shard_env_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def train_state_spec(state):
+    """PartitionSpec pytree for a train state: everything replicated EXCEPT
+    ZeRO optimizer moments, which shard their leading (K,) axis over the
+    data axis (SURVEY.md §2D sharded optimizer state)."""
+    from surreal_tpu.parallel.zero import ZeroAdamState, zero_state_spec
+
+    def spec(node):
+        if isinstance(node, ZeroAdamState):
+            return zero_state_spec(DATA_AXIS)
+        return jax.tree.map(lambda _: P(), node)
+
+    return jax.tree.map(spec, state, is_leaf=lambda x: isinstance(x, ZeroAdamState))
+
+
+def place_by_spec(mesh: Mesh, tree, spec_tree):
+    """device_put each leaf with its NamedSharding from the spec tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree
+    )
+
+
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
@@ -87,6 +108,7 @@ def make_sharded_ppo_lstm_step(
     env_step: Callable,
     flatten_obs: Callable,
     mesh: Mesh,
+    state_spec=None,  # pytree of PartitionSpecs for the train state (ZeRO)
 ):
     """LSTM-PPO variant of `make_sharded_ppo_step`: the recurrent carry is
     sharded with the env batch (each shard owns its envs' hidden state)."""
@@ -106,11 +128,12 @@ def make_sharded_ppo_lstm_step(
         }
         return state, env_state, obs, carry, ep_ret, metrics
 
+    sspec = P() if state_spec is None else state_spec
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(sspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(sspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         check_rep=False,
     )
     return jax.jit(sharded, donate_argnums=(1, 2, 3, 4))
@@ -122,13 +145,16 @@ def make_sharded_ppo_step(
     env_step: Callable,
     flatten_obs: Callable,
     mesh: Mesh,
+    state_spec=None,  # pytree of PartitionSpecs for the train state (ZeRO)
 ):
     """Returns a jitted train step running `shard_map`ed over the data axis.
 
-    Inputs: train state replicated; (env_state, obs, ep_ret) sharded on
-    their leading env-batch axis; key replicated (folded per-shard so each
-    shard rolls out distinct randomness). Outputs mirror inputs; metrics
-    are pmean'd (identical on every shard).
+    Inputs: train state replicated (except ZeRO moment chunks — pass
+    `state_spec=train_state_spec(state)` when cfg.zero_optimizer);
+    (env_state, obs, ep_ret) sharded on their leading env-batch axis; key
+    replicated (folded per-shard so each shard rolls out distinct
+    randomness). Outputs mirror inputs; metrics are pmean'd (identical on
+    every shard).
     """
 
     def step(state, env_state, obs, ep_ret, key):
@@ -146,11 +172,12 @@ def make_sharded_ppo_step(
         }
         return state, env_state, obs, ep_ret, metrics
 
+    sspec = P() if state_spec is None else state_spec
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(sspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(sspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         check_rep=False,
     )
     return jax.jit(sharded, donate_argnums=(1, 2, 3))

@@ -42,6 +42,11 @@ class PPOTrainer:
         mesh=None,  # jax.sharding.Mesh -> data-parallel sharded train step
     ):
         cfg = cfg or ppo.PPOConfig()
+        if mesh is not None and cfg.zero_optimizer:
+            from surreal_tpu.parallel.mesh import data_axis_size
+
+            # ZeRO moment chunks must be allocated (K, chunk) up front
+            cfg = dataclasses.replace(cfg, zero_shards=data_axis_size(mesh))
         env_kwargs = dict(env_kwargs or {})
         if env_name.startswith("gym:"):
             env_kwargs.setdefault("num_envs", num_envs)
@@ -94,17 +99,22 @@ class PPOTrainer:
             from surreal_tpu.parallel.dp import (
                 make_sharded_ppo_lstm_step,
                 make_sharded_ppo_step,
-                replicate,
+                place_by_spec,
                 shard_env_batch,
+                train_state_spec,
             )
             from surreal_tpu.parallel.mesh import data_axis_size
 
             shards = data_axis_size(mesh)
             if num_envs % shards != 0:
                 raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
+            sspec = train_state_spec(self.state)  # P() everywhere unless ZeRO
             maker = make_sharded_ppo_lstm_step if use_lstm else make_sharded_ppo_step
-            self._train_step = maker(self.cfg, self.net.apply, step_fn, self._flatten, mesh)
-            self.state = replicate(mesh, self.state)
+            self._train_step = maker(
+                self.cfg, self.net.apply, step_fn, self._flatten, mesh,
+                state_spec=sspec,
+            )
+            self.state = place_by_spec(mesh, self.state, sspec)
             self.env_state = shard_env_batch(mesh, self.env_state)
             self.obs = shard_env_batch(mesh, self.obs)
             self.ep_ret = shard_env_batch(mesh, self.ep_ret)

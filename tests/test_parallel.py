@@ -2,6 +2,8 @@
 (SURVEY.md §4: multi-device tests on one host; golden agreement between
 sharded and single-device paths)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -206,3 +208,36 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_zero_optimizer_matches_replicated_adam():
+    """GOLDEN (SURVEY.md §2D sharded optimizer state): ZeRO-sharded Adam
+    (moments 1/8 per shard, update chunks all_gather'ed) reproduces the
+    replicated Adam trajectory, and the moments really are sharded."""
+    from surreal_tpu.train import PPOTrainer
+
+    mesh = make_mesh(data=8)
+    cfg = ppo.PPOConfig(horizon=6, epochs=2, num_minibatches=1, use_zfilter=False)
+    cfg_z = dataclasses.replace(cfg, zero_optimizer=True)
+    tr = PPOTrainer("cartpole-balance", cfg, num_envs=16, seed=0,
+                    hidden=(16, 16), mesh=mesh)
+    trz = PPOTrainer("cartpole-balance", cfg_z, num_envs=16, seed=0,
+                     hidden=(16, 16), mesh=mesh)
+    tr.run(2, log_every=2)
+    trz.run(2, log_every=2)
+    a = jax.tree.leaves(tr.state.params)
+    b = jax.tree.leaves(trz.state.params)
+    for x, y in zip(a, b, strict=True):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-7)
+    # moments are (8, chunk) with the leading axis split across devices
+    from surreal_tpu.parallel.zero import ZeroAdamState
+
+    zstates = [s for s in jax.tree.leaves(
+        trz.state.opt_state, is_leaf=lambda x: isinstance(x, ZeroAdamState)
+    ) if isinstance(s, ZeroAdamState)]
+    assert len(zstates) == 1
+    mu = zstates[0].mu
+    assert mu.shape[0] == 8
+    assert len(mu.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in mu.addressable_shards}
+    assert shard_shapes == {(1, mu.shape[1])}

@@ -34,10 +34,19 @@ def test_render_translation_invariant_camera():
     assert np.abs(a - b).max() <= 1  # float rounding of camera grid only
 
 
-def test_cartpole_has_no_render_geoms():
-    env = make_env("cartpole-balance")
-    with pytest.raises(ValueError):
-        make_renderer(env.model)
+def test_contact_free_domains_render_skeletons():
+    """Contact-disabled models (cartpole, pendulum, acrobot) render a
+    body-tree stick figure with a root-framed camera; the image must
+    change with pose (a conv policy needs pose contrast)."""
+    for name in ("cartpole-balance", "pendulum-swingup", "acrobot-swingup"):
+        env = make_env(name)
+        render = make_renderer(env.model)
+        q0 = jnp.zeros(env.model.nv)
+        a = np.asarray(render(q0)).astype(int)
+        b = np.asarray(render(q0 + 0.4)).astype(int)
+        bg = a[0, 0, 0]
+        assert (a[..., 0] != bg).mean() > 0.01, name  # bodies visible
+        assert np.abs(a - b).mean() > 0.5, name  # pose changes pixels
 
 
 def test_pixel_wrapper_stack_semantics():
@@ -85,3 +94,37 @@ def test_carry_obs_resets_at_boundary():
 def test_pixel_flatten():
     obs = {"pixel": jnp.zeros((2, 84, 84, 3), jnp.uint8), "velocity": jnp.zeros((2, 9))}
     assert pixel_flatten_obs(obs).shape == (2, 84, 84, 3)
+
+
+def test_pixel_terminal_obs_approximation_magnitude():
+    """At `done`, PixelWrapper bootstraps from the stack as of t-1 (one
+    frame stale) instead of the exact terminal stack — a documented
+    approximation (wrappers.py). This test PINS it: (a) the terminal obs
+    equals the pre-step stack exactly, and (b) its pixel distance to the
+    EXACT terminal stack (shift + true pre-reset terminal frame) is a
+    small fraction of the dynamic range at dm_control's control dt."""
+    base_env = make_env("cheetah-run")
+    base_env.episode_steps = 3  # force a quick boundary
+    env = PixelWrapper(base_env, frame_stack=2, grayscale=True)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    action = jnp.full((base_env.action_dim,), 0.3)
+
+    # independently track the UNWRAPPED physics to know the pre-reset q
+    q, qd = state.inner.q, state.inner.qd
+    for t in range(3):
+        stack_before = state.stack
+        q, qd = base_env._physics_step(q, qd, action)  # exact pre-reset q
+        state, ts = env.step(state, action)
+    assert bool(ts.done)
+    # (a) terminal pixel obs == stack as of t-1, exactly
+    np.testing.assert_array_equal(
+        np.asarray(ts.obs["pixel"]), np.asarray(stack_before)
+    )
+    # (b) one-frame staleness error vs the exact terminal stack is small
+    term_frame = env._frame(q)
+    C = term_frame.shape[-1]
+    exact = jnp.concatenate([stack_before[..., C:], term_frame], -1)
+    err = np.abs(
+        np.asarray(exact).astype(int) - np.asarray(ts.obs["pixel"]).astype(int)
+    )
+    assert err.mean() / 255.0 < 0.02, err.mean()
