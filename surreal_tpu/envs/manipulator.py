@@ -1,4 +1,4 @@
-"""Planar manipulator domain (bring_ball) — JAX-native, dm_control parity.
+"""Planar manipulator domain (bring_ball / bring_peg) — JAX-native, dm_control parity.
 
 Oracle source (dm_control 1.0.43 `suite/manipulator.py` + `manipulator.xml`):
 a 4-joint planar arm (root/shoulder/elbow/wrist) in the VERTICAL x-z plane
@@ -42,8 +42,6 @@ from surreal_tpu.envs import base, rewards
 from surreal_tpu.envs.physics import engine
 from surreal_tpu.envs.physics import model as pmodel
 
-_ASSET = os.path.join(os.path.dirname(__file__), "assets", "manipulator_ball.npz")
-
 _NV = 11
 _CLOSE = 0.01  # oracle _CLOSE
 _P_IN_HAND = 0.1
@@ -56,11 +54,19 @@ _ARM_JOINTS = ["arm_root", "arm_shoulder", "arm_elbow", "arm_wrist",
 _TOUCH_BODIES = ["hand", "finger", "thumb", "fingertip", "thumbtip"]
 
 
-class ManipulatorBringBall(base.Environment):
+class Manipulator(base.Environment):
+    """bring_ball / bring_peg (insert variants need box colliders — out of
+    scope like the reference's unused task surface)."""
+
     episode_steps = 1000  # 10 s / 0.01 s
 
-    def __init__(self, dtype=jnp.float32):
-        self.model = pmodel.load(_ASSET)
+    def __init__(self, prop: str = "ball", dtype=jnp.float32):
+        assert prop in ("ball", "peg")
+        self.prop = prop
+        asset = os.path.join(
+            os.path.dirname(__file__), "assets", f"manipulator_{prop}.npz"
+        )
+        self.model = pmodel.load(asset)
         m = self.model
         assert m.nv == _NV and m.neq == 1 and m.act_moment is not None
         self.dtype = dtype
@@ -71,19 +77,36 @@ class ManipulatorBringBall(base.Environment):
         )
 
         # --- name metadata from the baked asset ---
-        z = np.load(_ASSET, allow_pickle=False)
+        z = np.load(asset, allow_pickle=False)
         joints = [str(s) for s in z["x_joint_names"]]
         bodies = [str(s) for s in z["x_body_names"]]
         sites = [str(s) for s in z["x_site_names"]]
         self._arm_idx = np.asarray([joints.index(j) for j in _ARM_JOINTS])
-        self._obj_idx = np.asarray([joints.index(f"ball_{d}") for d in "xzy"])
+        self._obj_idx = np.asarray([joints.index(f"{prop}_{d}") for d in "xzy"])
         self._thumb_slot = _ARM_JOINTS.index("thumb")
         self._finger_slot = _ARM_JOINTS.index("finger")
         self._hand_b = bodies.index("hand")
-        self._ball_b = bodies.index("ball")
-        g = sites.index("grasp")
-        assert int(z["x_site_body"][g]) == self._hand_b
-        self._grasp_local = np.asarray(z["x_site_pos"][g])
+        self._prop_b = bodies.index(prop)  # prop body (pose obs + ball reward)
+
+        def site(name):
+            s = sites.index(name)
+            return int(z["x_site_body"][s]), np.asarray(z["x_site_pos"][s])
+
+        hb, self._grasp_local = site("grasp")
+        assert hb == self._hand_b
+        if prop == "peg":
+            # peg reward sites: grasp/pinch on the hand side, peg/peg_grasp/
+            # peg_pinch/peg_tip on the peg (all site bodies are fixed)
+            self._site = {n: site(n) for n in (
+                "grasp", "pinch", "peg", "peg_grasp", "peg_pinch", "peg_tip",
+            )}
+            # target sites live on the (static) target body in dm_control;
+            # here the target pose is state, so store their TARGET-frame
+            # offsets (identical to the peg-frame offsets of peg/peg_tip).
+            self._target_offsets = {
+                "target_peg": np.asarray(site("target_peg")[1]),
+                "target_peg_tip": np.asarray(site("target_peg_tip")[1]),
+            }
 
         # --- touch sensors: per-body masks over the engine's impulse rows
         # (ground contacts, body-body pairs, wall contacts) ---
@@ -202,7 +225,7 @@ class ManipulatorBringBall(base.Environment):
             "arm_vel": qd[self._arm_idx],
             "touch": touch,
             "hand_pos": pose4(self._hand_b),
-            "object_pos": pose4(self._ball_b),
+            "object_pos": pose4(self._prop_b),
             "object_vel": qd[self._obj_idx],
             "target_pos": jnp.stack(
                 [tx, tz, jnp.cos(ta / 2), jnp.sin(ta / 2)]
@@ -211,6 +234,32 @@ class ManipulatorBringBall(base.Environment):
 
     def _reward(self, q, qd, action):
         q_phys, target = q[:_NV], q[_NV : _NV + 3]
-        pos, _ = engine.fk(self.model, q_phys)
-        dist = jnp.linalg.norm(pos[self._ball_b] - target[:2])
-        return rewards.tolerance(dist, (0.0, _CLOSE), margin=_CLOSE * 2)
+        pos, ang = engine.fk(self.model, q_phys)
+
+        def is_close(d):
+            return rewards.tolerance(d, (0.0, _CLOSE), margin=_CLOSE * 2)
+
+        if self.prop == "ball":
+            # oracle Bring._ball_reward: tolerance(site_distance(ball, target))
+            dist = jnp.linalg.norm(pos[self._prop_b] - target[:2])
+            return is_close(dist)
+
+        # oracle Bring._peg_reward: max(bringing, grasping/3)
+        def site_w(name):
+            b, local = self._site[name]
+            return pos[b] + engine._rot(ang[b], jnp.asarray(local, q.dtype))
+
+        def target_w(name):
+            off = jnp.asarray(self._target_offsets[name], q.dtype)
+            return target[:2] + engine._rot(target[2], off)
+
+        d = lambda a, b: jnp.linalg.norm(a - b)
+        grasping = (
+            is_close(d(site_w("peg_grasp"), site_w("grasp")))
+            + is_close(d(site_w("peg_pinch"), site_w("pinch")))
+        ) / 2.0
+        bringing = (
+            is_close(d(site_w("peg"), target_w("target_peg")))
+            + is_close(d(target_w("target_peg_tip"), site_w("peg_tip")))
+        ) / 2.0
+        return jnp.maximum(bringing, grasping / 3.0)

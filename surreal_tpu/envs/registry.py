@@ -56,9 +56,10 @@ def _builtin():
     register("finger-spin", lambda **kw: Finger(task="spin", **kw))
     register("finger-turn_easy", lambda **kw: Finger(task="turn", target_radius=0.07, **kw))
     register("finger-turn_hard", lambda **kw: Finger(task="turn", target_radius=0.03, **kw))
-    from surreal_tpu.envs.manipulator import ManipulatorBringBall
+    from surreal_tpu.envs.manipulator import Manipulator
 
-    register("manipulator-bring_ball", lambda **kw: ManipulatorBringBall(**kw))
+    register("manipulator-bring_ball", lambda **kw: Manipulator(prop="ball", **kw))
+    register("manipulator-bring_peg", lambda **kw: Manipulator(prop="peg", **kw))
 
 
 def make_env(name: str, **kwargs) -> Environment:

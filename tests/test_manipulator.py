@@ -157,3 +157,33 @@ def test_touch_fires_on_hand_ball_contact(model):
     qd2 = jnp.zeros(19, jnp.float64)
     q2, qd2 = env._physics_step(q2, qd2, jnp.zeros(5, jnp.float64))
     assert float(jnp.max(q2[14:])) == 0.0
+
+
+def test_bring_peg_reward_parity_and_smoke(model):
+    """bring_peg: the grasping/bringing site-distance reward matches
+    dm_control's Bring._peg_reward at matched states; env steps finitely."""
+    from dm_control import suite
+
+    oracle = suite.load("manipulator", "bring_peg")
+    mj = oracle.physics
+    env = make_env("manipulator-bring_peg", dtype=jnp.float64)
+    rng = np.random.RandomState(2)
+    for _ in range(10):
+        qpos = rng.uniform(-1.0, 1.0, 11)
+        target = np.array([rng.uniform(-0.4, 0.4), rng.uniform(0.1, 0.4),
+                           rng.uniform(-np.pi, np.pi)])
+        mj.named.model.body_pos["target_peg", ["x", "z"]] = target[:2]
+        mj.named.model.body_quat["target_peg", ["qw", "qy"]] = [
+            np.cos(target[2] / 2), np.sin(target[2] / 2)]
+        with mj.reset_context():
+            mj.data.qpos[:] = qpos
+        want = oracle.task.get_reward(mj)
+        q = jnp.concatenate([jnp.asarray(qpos), jnp.asarray(target),
+                             jnp.zeros(5, jnp.float64)])
+        got = float(env._reward(q, jnp.zeros(19, jnp.float64), None))
+        np.testing.assert_allclose(got, want, atol=1e-9)
+    # smoke: batch reset + steps stay finite
+    reset, step = env_base.vectorize(env)
+    st, ts = jax.jit(reset)(jax.random.split(jax.random.PRNGKey(0), 4))
+    st, ts = jax.jit(step)(st, jnp.zeros((4, 5), jnp.float64))
+    assert bool(jnp.all(jnp.isfinite(env_base.flatten_obs(ts.obs))))

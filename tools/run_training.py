@@ -17,6 +17,20 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _parse_sets(pairs):
+    out = {}
+    for p in pairs:
+        k, v = p.split("=", 1)
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", required=True)
@@ -30,6 +44,12 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--hidden", default="256,256")
     p.add_argument("--entropy", type=float, default=None)
+    p.add_argument("--set", action="append", default=[],
+                   help="extra AlgoConfig fields, e.g. --set lr_max_scale=2")
+    p.add_argument("--pixel", action="store_true",
+                   help="PPO from pixels (PixelWrapper; BASELINE config 4)")
+    p.add_argument("--action-repeat", type=int, default=4)
+    p.add_argument("--frame-stack", type=int, default=3)
     p.add_argument("--eval-episodes", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -59,13 +79,23 @@ def main():
                   num_minibatches=args.minibatches, lr=args.lr)
         if args.entropy is not None:
             kw["entropy_coef"] = args.entropy
+        kw.update(_parse_sets(args.set))
         cfg = PPOConfig(**kw)
+        pixel_kwargs = None
+        if args.pixel:
+            pixel_kwargs = dict(
+                frame_stack=args.frame_stack, grayscale=True,
+                action_repeat=args.action_repeat,
+            )
         trainer = PPOTrainer(args.env, cfg, num_envs=args.num_envs,
-                             seed=args.seed, hidden=hidden)
+                             seed=args.seed, hidden=hidden,
+                             pixel_obs=args.pixel, pixel_kwargs=pixel_kwargs)
     else:
+        from surreal_tpu.algos.ddpg import DDPGConfig
         from surreal_tpu.train import DDPGTrainer
 
-        trainer = DDPGTrainer(args.env, num_envs=args.num_envs, seed=args.seed)
+        cfg = DDPGConfig(**_parse_sets(args.set)) if args.set else None
+        trainer = DDPGTrainer(args.env, cfg, num_envs=args.num_envs, seed=args.seed)
 
     iters = max(1, int(args.steps / trainer.steps_per_iteration))
     log_every = max(1, iters // 25)
