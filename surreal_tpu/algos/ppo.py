@@ -265,7 +265,10 @@ def _loss_fn(cfg: PPOConfig, apply_fn, params, batch, kl_beta):
             value_coef=cfg.value_coef, entropy_coef=cfg.entropy_coef,
         )
     logp = DiagGauss.log_prob(mean, log_std, action)
-    ratio = jnp.exp(logp - logp_old)
+    # log-ratio clamp: a diverging policy can push |logp − logp_old| past
+    # exp's float32 range (inf·0 → NaN in the surrogate); ±20 ≈ ratio 5e8,
+    # far outside the clip band, so the clamp never binds in healthy runs.
+    ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))
     kl = jnp.mean(DiagGauss.kl(mean_old, log_std_old, mean, log_std))
     if cfg.objective == "clip":
         surr = jnp.minimum(

@@ -154,7 +154,8 @@ def update(cfg, apply_fn, state, traj: LSTMTrajectory, key, axis_name=None):
         action = traj.action[:, idx]
         logp_old = traj.log_prob[:, idx]
         logp = DiagGauss.log_prob(mean, log_std, action)
-        ratio = jnp.exp(logp - logp_old)
+        # log-ratio clamp — see ppo._loss_fn (prevents exp overflow NaN)
+        ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))
         a = adv[:, idx]
         kl = jnp.mean(DiagGauss.kl(traj.mean[:, idx], traj.log_std[:, idx], mean, log_std))
         if cfg.objective == "clip":

@@ -56,7 +56,12 @@ class PPOActorCritic(nn.Module):
             carry, x = self.lstm(carry, x.astype(self.compute_dtype))
         mean = self.mean_head(self.actor_torso(x)).astype(jnp.float32)
         value = self.value_head(self.critic_torso(x)).astype(jnp.float32)[..., 0]
-        log_std = self.log_std.astype(jnp.float32)
+        # Bounded state-independent log-std (reference keeps it free; the
+        # clip only binds when training is already diverging — σ below
+        # e^-8≈3e-4 or above e^2≈7.4 has no policy meaning on [-1,1] action
+        # spaces and is the first step of the entropy-NaN death spiral seen
+        # on finger-spin, results/finger_spin_ppo_r2).
+        log_std = jnp.clip(self.log_std.astype(jnp.float32), -8.0, 2.0)
         if self.use_lstm:
             return mean, log_std, value, carry
         return mean, log_std, value

@@ -53,7 +53,8 @@ def _fwd_kernel(clip_eps, mean_ref, ls_ref, v_ref, a_ref, lp_old_ref,
                 mo_ref, lso_ref, adv_ref, vt_ref, vold_ref, sums_ref):
     mean, log_std = mean_ref[:], ls_ref[:]
     _, _, logp = _logp_terms(mean, log_std, a_ref[:])
-    ratio = jnp.exp(logp - lp_old_ref[:])
+    # log-ratio clamp matches ppo._loss_fn (prevents exp overflow NaN)
+    ratio = jnp.exp(jnp.clip(logp - lp_old_ref[:], -20.0, 20.0))
     adv = adv_ref[:]
     r_clip = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
     surr = jnp.minimum(ratio * adv, r_clip * adv)
@@ -91,14 +92,16 @@ def _bwd_kernel(clip_eps, value_coef, entropy_coef, inv_n,
     loss = -mean(surr) + value_coef*mean(vloss) - entropy_coef*mean(ent)."""
     mean, log_std = mean_ref[:], ls_ref[:]
     z, inv_std, logp = _logp_terms(mean, log_std, a_ref[:])
-    ratio = jnp.exp(logp - lp_old_ref[:])
+    x = logp - lp_old_ref[:]
+    ratio = jnp.exp(jnp.clip(x, -20.0, 20.0))
+    in_band_lr = (jnp.abs(x) < 20.0).astype(mean.dtype)  # clip passthrough
     adv = adv_ref[:]
     r_clip = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
     # gradient flows through the unclipped branch iff it attains the min
     # (jnp.minimum takes the FIRST arg at ties — match autodiff exactly by
     # treating ties as the unclipped branch)
     use_unclipped = (ratio * adv <= r_clip * adv).astype(mean.dtype)
-    dsurr_dlogp = use_unclipped * ratio * adv  # (TILE, 1)
+    dsurr_dlogp = use_unclipped * ratio * adv * in_band_lr  # (TILE, 1)
     g_logp = -inv_n * dsurr_dlogp
     # d logp/d mean = z/std ; d logp/d log_std = z^2 - 1
     dmean_ref[:] = g_logp * z * inv_std

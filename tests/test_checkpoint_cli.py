@@ -150,3 +150,33 @@ def test_cli_sharded_mesh_train(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     result = json.loads(out2.stdout.strip().splitlines()[-1])
     assert np.isfinite(result["return_mean"])
+
+
+def test_ddpg_full_state_roundtrip(tmp_path):
+    """DDPG full_state (incl. replay buffer contents + cursor + OU noise)
+    survives an Orbax save/restore into a FRESH trainer (SURVEY.md §5)."""
+    from surreal_tpu.algos.ddpg import DDPGConfig
+    from surreal_tpu.train import DDPGTrainer
+
+    cfg = DDPGConfig(rollout_steps=4, updates_per_iteration=2, batch_size=16,
+                     min_replay=32, replay_capacity=512)
+    tr = DDPGTrainer("cartpole-balance", cfg, num_envs=8, seed=0,
+                     actor_hidden=(16, 16), critic_hidden=(16, 16))
+    tr.run(6, log_every=6)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(6, tr.full_state)
+    ck.wait()
+
+    tr2 = DDPGTrainer("cartpole-balance", cfg, num_envs=8, seed=123,
+                      actor_hidden=(16, 16), critic_hidden=(16, 16))
+    tr2.load_full_state(ck.restore(tr2.full_state))
+    assert tr2.global_iter == 6
+    np.testing.assert_array_equal(np.asarray(tr2.replay.total),
+                                  np.asarray(tr.replay.total))
+    for a, b in zip(jax.tree.leaves(tr2.full_state),
+                    jax.tree.leaves(tr.full_state), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed trainer continues stepping
+    logs = tr2.run(2, log_every=2)
+    assert np.isfinite(logs[-1]["q_mean"])
+    ck.close()
