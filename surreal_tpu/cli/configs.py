@@ -33,6 +33,9 @@ BASE_SESSION_CONFIG = Config(
     restore="auto",
     tensorboard=True,
     log_every_iterations=20,
+    # eval-worker video recording (reference's video_env): one GIF per eval
+    video=False,
+    video_steps=400,
     # parallel layout (SURVEY.md §2D/E): data-parallel shards etc.
     mesh=Config(data=None, model=1, time=1),
     multihost=Config(coordinator=None, num_processes=None, process_id=None),

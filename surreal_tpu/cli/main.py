@@ -162,6 +162,19 @@ def cmd_train(algo: str, overrides: dict) -> int:
             score = ev["return_mean"]
             tb.write(env_steps, ev, section="eval")
             log.info("eval @ %.2e steps: %.1f ± %.1f", env_steps, ev["return_mean"], ev["return_std"])
+            if session.video:  # reference's eval-worker video recording
+                pol = trainer.deterministic_policy()
+                if pol is not None:
+                    from surreal_tpu.train.video import record_video
+
+                    policy_fn, params, zf = pol
+                    path = os.path.join(exp_dir, "videos", f"steps_{env_steps}.gif")
+                    record_video(
+                        trainer.env, policy_fn, params, path,
+                        steps=int(session.video_steps), zfilter=zf,
+                        flatten=getattr(trainer, "_flatten", None),
+                    )
+                    log.info("video -> %s", path)
         if ckpt_trk.track(env_steps) or finished:
             ckpt.save(env_steps, trainer.full_state, score=score)
     ckpt.close()

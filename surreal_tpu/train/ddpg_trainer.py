@@ -181,6 +181,11 @@ class DDPGTrainer:
                 t0 = time.perf_counter()
         return logs
 
+    def deterministic_policy(self):
+        """(policy_fn, params, zfilter) for video recording."""
+        zf = self.state.zfilter if self.cfg.use_zfilter else None
+        return (lambda p, o: self.actor.apply(p, o)), self.state.actor_params, zf
+
     def evaluate(self, episodes: int = 16, seed: int = 0):
         from surreal_tpu.train.evaluator import evaluate_policy
 

@@ -225,6 +225,19 @@ class PPOTrainer:
                 t0 = time.perf_counter()
         return logs
 
+    def deterministic_policy(self):
+        """(policy_fn, params, zfilter) for video recording; None for LSTM
+        policies (stateless policy_fn contract)."""
+        if self.use_lstm:
+            return None
+
+        def policy(params, obs):
+            mean, _, _ = self.net.apply(params, obs)
+            return mean
+
+        zf = self.state.zfilter if self.cfg.use_zfilter else None
+        return policy, self.state.params, zf
+
     # ---- evaluation (reference's eval workers, SURVEY.md §3.5) ----
     def evaluate(self, episodes: int = 16, stochastic: bool = False, seed: int = 0):
         from surreal_tpu.models.distributions import DiagGauss

@@ -67,6 +67,7 @@ def test_cli_end_to_end(tmp_path):
             "--session.eval_every_steps", "256",
             "--session.checkpoint_every_steps", "256",
             "--session.eval_episodes", "2",
+            "--session.video", "true", "--session.video_steps", "40",
             "--session.results_dir", str(tmp_path),
             "--session.experiment_name", "t",
         ],
@@ -74,6 +75,8 @@ def test_cli_end_to_end(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert (tmp_path / "t" / "config.json").exists()
+    videos = list((tmp_path / "t" / "videos").glob("*.gif"))
+    assert videos, "eval video GIF not recorded"
     out2 = subprocess.run(
         [
             sys.executable, "-m", "surreal_tpu.cli.main", "eval",
