@@ -48,6 +48,8 @@ def main():
                    help="extra AlgoConfig fields, e.g. --set lr_max_scale=2")
     p.add_argument("--pixel", action="store_true",
                    help="PPO from pixels (PixelWrapper; BASELINE config 4)")
+    p.add_argument("--lstm", action="store_true", help="recurrent PPO policy")
+    p.add_argument("--lstm-size", type=int, default=128)
     p.add_argument("--action-repeat", type=int, default=4)
     p.add_argument("--frame-stack", type=int, default=3)
     p.add_argument("--eval-episodes", type=int, default=32)
@@ -89,7 +91,8 @@ def main():
             )
         trainer = PPOTrainer(args.env, cfg, num_envs=args.num_envs,
                              seed=args.seed, hidden=hidden,
-                             pixel_obs=args.pixel, pixel_kwargs=pixel_kwargs)
+                             pixel_obs=args.pixel, pixel_kwargs=pixel_kwargs,
+                             use_lstm=args.lstm, lstm_size=args.lstm_size)
     else:
         from surreal_tpu.algos.ddpg import DDPGConfig
         from surreal_tpu.train import DDPGTrainer
