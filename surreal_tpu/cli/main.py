@@ -95,17 +95,21 @@ def cmd_train(algo: str, overrides: dict) -> int:
     log = get_logger("cli")
     mh = session.multihost
     distributed_init(mh.coordinator, mh.num_processes, mh.process_id)
+    import jax
+
+    primary = jax.process_index() == 0  # single-writer host-side IO
 
     exp_dir = os.path.join(session.results_dir, session.experiment_name)
     os.makedirs(exp_dir, exist_ok=True)
-    with open(os.path.join(exp_dir, "config.json"), "w") as f:
-        f.write(
-            json.dumps(
-                {"learner": learner.to_dict(), "env": env_cfg.to_dict(),
-                 "session": session.to_dict()},
-                indent=2, default=str,
+    if primary:
+        with open(os.path.join(exp_dir, "config.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {"learner": learner.to_dict(), "env": env_cfg.to_dict(),
+                     "session": session.to_dict()},
+                    indent=2, default=str,
+                )
             )
-        )
 
     trainer = _build_trainer(learner, env_cfg, session)
 
@@ -115,7 +119,9 @@ def cmd_train(algo: str, overrides: dict) -> int:
     ckpt = Checkpointer(
         os.path.join(exp_dir, "checkpoints"), keep_latest=int(session.keep_latest_checkpoints)
     )
-    tb = MetricsWriter(os.path.join(exp_dir, "tb") if session.tensorboard else None)
+    tb = MetricsWriter(
+        os.path.join(exp_dir, "tb") if (session.tensorboard and primary) else None
+    )
 
     # ---- resume (SURVEY.md §5 checkpoint/resume: the FULL training state —
     # params/opt/Z-filter/env batch/replay/RNG/counters — survives a kill) ----
@@ -162,7 +168,7 @@ def cmd_train(algo: str, overrides: dict) -> int:
             score = ev["return_mean"]
             tb.write(env_steps, ev, section="eval")
             log.info("eval @ %.2e steps: %.1f ± %.1f", env_steps, ev["return_mean"], ev["return_std"])
-            if session.video:  # reference's eval-worker video recording
+            if session.video and primary:  # reference's eval-worker videos
                 pol = trainer.deterministic_policy()
                 if pol is not None:
                     from surreal_tpu.train.video import record_video

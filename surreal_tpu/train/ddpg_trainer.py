@@ -118,11 +118,17 @@ class DDPGTrainer:
     # and cursor, exploration state, env batch, RNG, counters ----
     @property
     def full_state(self) -> dict:
-        return dict(
+        fs = dict(
             state=self.state, replay=self.replay, env_state=self.env_state,
             obs=self.obs, ou_state=self.ou_state, ep_ret=self.ep_ret,
             key=self.key, global_iter=jnp.asarray(self.global_iter, jnp.int32),
         )
+        if self.mesh is not None:  # see PPOTrainer.full_state
+            from surreal_tpu.parallel.dp import replicate
+
+            fs["key"] = replicate(self.mesh, fs["key"])
+            fs["global_iter"] = replicate(self.mesh, fs["global_iter"])
+        return fs
 
     def load_full_state(self, fs: dict) -> None:
         self.state = fs["state"]

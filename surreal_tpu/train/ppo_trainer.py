@@ -158,6 +158,13 @@ class PPOTrainer:
         )
         if self.use_lstm:
             fs["carry"] = self.carry
+        if self.mesh is not None:
+            # host-locally created leaves must be GLOBAL (replicated) arrays
+            # for multi-process Orbax serialization; harmless single-host.
+            from surreal_tpu.parallel.dp import replicate
+
+            fs["key"] = replicate(self.mesh, fs["key"])
+            fs["global_iter"] = replicate(self.mesh, fs["global_iter"])
         return fs
 
     def load_full_state(self, fs: dict) -> None:
