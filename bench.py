@@ -40,9 +40,15 @@ def main():
     from surreal_tpu.algos.ppo import PPOConfig
     from surreal_tpu.train import PPOTrainer
 
+    import jax.numpy as jnp
+
     cfg = PPOConfig(horizon=HORIZON, epochs=4, num_minibatches=8, lr=3e-4)
+    # BENCH_DTYPE=bfloat16 runs the network compute in bf16 (MXU-native;
+    # params/GAE stay f32) — an experiment knob, f32 is the default.
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
     trainer = PPOTrainer(
-        "cheetah-run", cfg, num_envs=NUM_ENVS, seed=0, hidden=(256, 256)
+        "cheetah-run", cfg, num_envs=NUM_ENVS, seed=0, hidden=(256, 256),
+        compute_dtype=dtype,
     )
 
     # Warmup (compile) then timed steady-state iterations.
