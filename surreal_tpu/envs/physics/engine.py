@@ -609,6 +609,33 @@ def passive_spring_forces(m: PlanarModel, q) -> jax.Array:
     return -jnp.asarray(m.stiffness, q.dtype) * (q - jnp.asarray(m.springref, q.dtype))
 
 
+def fluid_forces(m: PlanarModel, q, qd) -> jax.Array:
+    """Generalized quadratic fluid drag — the MuJoCo inertia-box fluid
+    model's density term (mj_passive; the swimmer domain's swimming
+    forces). Coefficients are baked per body (model.py `fluid_lin/ang`);
+    verified exact against `qfrc_passive` in tests/test_swimmer.py.
+
+    Per body: drag force −c_i·|v_i|·v_i in body-frame in-plane axes applied
+    at the COM, plus torque −c_ω·|ω|·ω about the plane normal, mapped to
+    generalized coordinates through the COM point Jacobians (linear) and
+    the hinge ancestor mask (angular). All conventions are the engine's
+    own (self-consistent with fk/_rot), so the formula holds for both
+    planes."""
+    dtype = q.dtype
+    (_, ang), (v_com, w) = jax.jvp(
+        lambda qq: _coms_and_angles(m, qq), (q,), (qd,)
+    )
+    v_body = _rot(-ang, v_com)
+    f_body = -jnp.asarray(m.fluid_lin, dtype) * jnp.abs(v_body) * v_body
+    f_world = _rot(ang, f_body)  # (nb, 2)
+    torque = -jnp.asarray(m.fluid_ang, dtype) * jnp.abs(w) * w  # (nb,)
+    _, Jv, _, _ = point_jacobians(m, q, m.com, np.arange(m.nb))
+    sign = jnp.asarray([m.dof_axis[j][0] if m.dof_type[j] == HINGE else 0.0
+                        for j in range(m.nv)], dtype)
+    Jw = jnp.asarray(_ancestor_dof_mask(m), dtype) * sign[None, :]  # (nb, nv)
+    return jnp.einsum("bcv,bc->v", Jv, f_world) + Jw.T @ torque
+
+
 def actuation(m: PlanarModel, ctrl) -> jax.Array:
     """Generalized forces from motor actuators (ctrl clipped to [-1, 1]).
     Fixed-tendon transmissions use the general moment matrix."""
@@ -625,9 +652,14 @@ def actuation(m: PlanarModel, ctrl) -> jax.Array:
 
 
 def smooth_forces(m: PlanarModel, q, qd, ctrl):
-    """Actuation + joint springs − bias. Joint damping and unilateral
-    constraints are handled by the integrators."""
-    return actuation(m, ctrl) + passive_spring_forces(m, q) - bias_forces(m, q, qd)
+    """Actuation + joint springs + fluid drag − bias. Joint damping and
+    unilateral constraints are handled by the integrators. Fluid drag is
+    explicit-in-velocity, matching MuJoCo (only joint damping is implicit
+    in its Euler integrator)."""
+    f = actuation(m, ctrl) + passive_spring_forces(m, q) - bias_forces(m, q, qd)
+    if m.has_fluid:
+        f = f + fluid_forces(m, q, qd)
+    return f
 
 
 def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:

@@ -112,6 +112,16 @@ class PlanarModel:
     wall_normal: np.ndarray | None = None  # (nwall, 2) unit normals
     wall_offset: np.ndarray | None = None  # (nwall,) d = n·p for plane point p
 
+    # --- quadratic fluid drag (MuJoCo inertia-box model with medium
+    # `density` > 0, viscosity 0 — the swimmer domain's swimming forces).
+    # Per-body coefficients with the density and equivalent-box geometry
+    # folded in at bake time:
+    #   f_body[i]  = −fluid_lin[b, i] · |v_i| · v_i   (body-frame, in-plane)
+    #   torque     = −fluid_ang[b] · |ω| · ω          (about the plane normal)
+    # None ⇒ vacuum (every other domain) ---
+    fluid_lin: np.ndarray | None = None  # (nb, 2)
+    fluid_ang: np.ndarray | None = None  # (nb,)
+
     @property
     def nb(self) -> int:
         return len(self.parent)
@@ -147,6 +157,10 @@ class PlanarModel:
     @property
     def has_dof_friction(self) -> bool:
         return self.frictionloss is not None and bool(np.any(self.frictionloss > 0))
+
+    @property
+    def has_fluid(self) -> bool:
+        return self.fluid_lin is not None
 
     @property
     def body_angles(self) -> np.ndarray:
@@ -511,6 +525,46 @@ def from_mujoco(
         "rk4" if m.opt.integrator == mujoco.mjtIntegrator.mjINT_RK4 else "euler"
     )
 
+    # --- fluid drag (inertia-box model; density term only — swimmer) ---
+    # Verified exact vs qfrc_passive: per body, equivalent box sides
+    # box[i] = sqrt(6·(I_j + I_k − I_i)/mass); in the inertial frame
+    #   f_i = −½ρ·box_j·box_k·|v_i|·v_i,
+    #   t_i = −ρ·box_i·(box_j⁴+box_k⁴)/64·|ω_i|·ω_i.
+    # For planar motion only the in-plane linear and normal angular terms
+    # are nonzero, so bake them as per-body coefficients in engine axes.
+    fluid_lin = fluid_ang = None
+    if float(m.opt.density) > 0:
+        assert float(m.opt.viscosity) == 0, "fluid viscosity unsupported"
+        assert not np.any(m.opt.wind), "wind unsupported"
+        rho = float(m.opt.density)
+        fluid_lin = np.zeros((nb, 2))
+        fluid_ang = np.zeros(nb)
+        for b in range(1, m.nbody):
+            mass_b = float(m.body_mass[b])
+            if mass_b < 1e-12:
+                continue
+            # inertial frame must coincide with the body frame so the box
+            # axes pair with the engine's body axes (true for the swimmer:
+            # axis-aligned inertial geoms)
+            assert abs(m.body_iquat[b][0] - 1.0) < 1e-9, (
+                f"non-identity body_iquat unsupported for fluid, body {b}"
+            )
+            I = m.body_inertia[b]
+            box = np.sqrt(np.maximum(
+                1e-12, (I[[1, 2, 0]] + I[[2, 0, 1]] - I) * 6.0 / mass_b
+            ))
+            i0, i1 = cols
+            other = lambda i: [j for j in range(3) if j != i]
+            fluid_lin[bid(b), 0] = 0.5 * rho * box[other(i0)[0]] * box[other(i0)[1]]
+            fluid_lin[bid(b), 1] = 0.5 * rho * box[other(i1)[0]] * box[other(i1)[1]]
+            fluid_ang[bid(b)] = rho * box[normal] * (box[i0] ** 4 + box[i1] ** 4) / 64.0
+
+    # per-model limit solver timeconst: MuJoCo solreflimit (default 0.02)
+    limited_js = np.flatnonzero(m.jnt_limited)
+    limit_tc = (
+        float(np.min(m.jnt_solref[limited_js, 0])) if len(limited_js) else 0.02
+    )
+
     return PlanarModel(
         parent=tuple(parent),
         body_pos=body_pos,
@@ -557,6 +611,9 @@ def from_mujoco(
         eq_timeconst=min(eq_tcs) if eq_rows else 0.02,
         wall_normal=np.asarray(wall_normal) if wall_normal else None,
         wall_offset=np.asarray(wall_offset) if wall_normal else None,
+        fluid_lin=fluid_lin,
+        fluid_ang=fluid_ang,
+        limit_timeconst=limit_tc,
     )
 
 
@@ -574,6 +631,7 @@ _OPT_ARRAY_FIELDS = [
     "body_angle", "geom_p0", "geom_p1", "geom_radius", "geom_friction",
     "pair_geoms", "rope_body", "rope_pos", "rope_max", "frictionloss",
     "act_moment", "dof_ref", "eq_moment", "eq_ref", "wall_normal", "wall_offset",
+    "fluid_lin", "fluid_ang",
 ]
 _TUPLE_FIELDS = ["parent", "dof_body", "dof_type", "act_dof", "con_body"]
 _OPT_TUPLE_FIELDS = ["geom_body"]

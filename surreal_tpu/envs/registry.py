@@ -60,6 +60,10 @@ def _builtin():
 
     register("manipulator-bring_ball", lambda **kw: Manipulator(prop="ball", **kw))
     register("manipulator-bring_peg", lambda **kw: Manipulator(prop="peg", **kw))
+    from surreal_tpu.envs.swimmer import Swimmer
+
+    register("swimmer-swimmer6", lambda **kw: Swimmer(n_links=6, **kw))
+    register("swimmer-swimmer15", lambda **kw: Swimmer(n_links=15, **kw))
 
 
 def make_env(name: str, **kwargs) -> Environment:

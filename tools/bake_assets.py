@@ -43,7 +43,23 @@ def main():
             f"dt={m.dt} integrator={m.integrator} -> {os.path.relpath(path)}"
         )
     bake_manipulator()
+    bake_swimmer()
     bake_cheetah_pool()
+
+
+def bake_swimmer():
+    """Swimmer domain (procedurally generated n-link models): bake the two
+    benchmark sizes under task-specific asset names. Fluid-drag
+    coefficients (option density=3000) are extracted by from_mujoco."""
+    for task in ("swimmer6", "swimmer15"):
+        env = suite.load("swimmer", task)
+        m = pmodel.from_mujoco(env.physics.model._model)
+        path = os.path.join(ASSETS, f"{task}.npz")
+        pmodel.save(m, path)
+        print(
+            f"{task}: nb={m.nb} nv={m.nv} nu={m.nu} fluid={m.has_fluid} "
+            f"limit_tc={m.limit_timeconst} dt={m.dt} -> {os.path.relpath(path)}"
+        )
 
 
 def bake_manipulator():
