@@ -31,6 +31,14 @@ def _builtin():
     register(
         "cartpole-swingup_sparse", lambda **kw: Cartpole(swing_up=True, sparse=True, **kw)
     )
+    register(
+        "cartpole-two_poles",
+        lambda **kw: Cartpole(swing_up=True, sparse=False, n_poles=2, **kw),
+    )
+    register(
+        "cartpole-three_poles",
+        lambda **kw: Cartpole(swing_up=True, sparse=False, n_poles=3, **kw),
+    )
     register("cheetah-run", lambda **kw: CheetahRun(**kw))
     from surreal_tpu.envs.classic import AcrobotSwingup, PendulumSwingup
     from surreal_tpu.envs.hopper import Hopper

@@ -44,7 +44,21 @@ def main():
         )
     bake_manipulator()
     bake_swimmer()
+    bake_multipole()
     bake_cheetah_pool()
+
+
+def bake_multipole():
+    """Cartpole two_poles / three_poles (procedurally generated chains)."""
+    for task, n in (("two_poles", 2), ("three_poles", 3)):
+        env = suite.load("cartpole", task)
+        m = pmodel.from_mujoco(env.physics.model._model)
+        path = os.path.join(ASSETS, f"cartpole_{n}.npz")
+        pmodel.save(m, path)
+        print(
+            f"cartpole_{n}: nb={m.nb} nv={m.nv} integrator={m.integrator} "
+            f"-> {os.path.relpath(path)}"
+        )
 
 
 def bake_swimmer():
