@@ -627,8 +627,11 @@ def fluid_forces(m: PlanarModel, q, qd) -> jax.Array:
     )
     v_body = _rot(-ang, v_com)
     f_body = -jnp.asarray(m.fluid_lin, dtype) * jnp.abs(v_body) * v_body
-    f_world = _rot(ang, f_body)  # (nb, 2)
     torque = -jnp.asarray(m.fluid_ang, dtype) * jnp.abs(w) * w  # (nb,)
+    if m.fluid_visc_lin is not None:  # linear (Stokes) viscosity terms
+        f_body = f_body - jnp.asarray(m.fluid_visc_lin, dtype)[:, None] * v_body
+        torque = torque - jnp.asarray(m.fluid_visc_ang, dtype) * w
+    f_world = _rot(ang, f_body)  # (nb, 2)
     _, Jv, _, _ = point_jacobians(m, q, m.com, np.arange(m.nb))
     sign = jnp.asarray([m.dof_axis[j][0] if m.dof_type[j] == HINGE else 0.0
                         for j in range(m.nv)], dtype)

@@ -118,9 +118,14 @@ class PlanarModel:
     # folded in at bake time:
     #   f_body[i]  = −fluid_lin[b, i] · |v_i| · v_i   (body-frame, in-plane)
     #   torque     = −fluid_ang[b] · |ω| · ω          (about the plane normal)
-    # None ⇒ vacuum (every other domain) ---
+    # None ⇒ vacuum (every other domain). With medium `viscosity` > 0 the
+    # linear (Stokes) terms add:
+    #   f_body[i] += −fluid_visc_lin[b] · v_i,  torque += −fluid_visc_ang[b] · ω
+    # (equivalent-sphere diameter d = mean box side: 3πdμ and πd³μ) ---
     fluid_lin: np.ndarray | None = None  # (nb, 2)
     fluid_ang: np.ndarray | None = None  # (nb,)
+    fluid_visc_lin: np.ndarray | None = None  # (nb,)
+    fluid_visc_ang: np.ndarray | None = None  # (nb,)
 
     @property
     def nb(self) -> int:
@@ -532,13 +537,14 @@ def from_mujoco(
     #   t_i = −ρ·box_i·(box_j⁴+box_k⁴)/64·|ω_i|·ω_i.
     # For planar motion only the in-plane linear and normal angular terms
     # are nonzero, so bake them as per-body coefficients in engine axes.
-    fluid_lin = fluid_ang = None
-    if float(m.opt.density) > 0:
-        assert float(m.opt.viscosity) == 0, "fluid viscosity unsupported"
+    fluid_lin = fluid_ang = fluid_visc_lin = fluid_visc_ang = None
+    rho, mu = float(m.opt.density), float(m.opt.viscosity)
+    if rho > 0 or mu > 0:
         assert not np.any(m.opt.wind), "wind unsupported"
-        rho = float(m.opt.density)
         fluid_lin = np.zeros((nb, 2))
         fluid_ang = np.zeros(nb)
+        fluid_visc_lin = np.zeros(nb)
+        fluid_visc_ang = np.zeros(nb)
         for b in range(1, m.nbody):
             mass_b = float(m.body_mass[b])
             if mass_b < 1e-12:
@@ -558,6 +564,12 @@ def from_mujoco(
             fluid_lin[bid(b), 0] = 0.5 * rho * box[other(i0)[0]] * box[other(i0)[1]]
             fluid_lin[bid(b), 1] = 0.5 * rho * box[other(i1)[0]] * box[other(i1)[1]]
             fluid_ang[bid(b)] = rho * box[normal] * (box[i0] ** 4 + box[i1] ** 4) / 64.0
+            # linear (Stokes) drag on the equivalent sphere, d = mean side
+            diam = float(np.mean(box))
+            fluid_visc_lin[bid(b)] = 3.0 * np.pi * diam * mu
+            fluid_visc_ang[bid(b)] = np.pi * diam ** 3 * mu
+        if mu == 0:
+            fluid_visc_lin = fluid_visc_ang = None
 
     # per-model limit solver timeconst: MuJoCo solreflimit (default 0.02)
     limited_js = np.flatnonzero(m.jnt_limited)
@@ -613,6 +625,8 @@ def from_mujoco(
         wall_offset=np.asarray(wall_offset) if wall_normal else None,
         fluid_lin=fluid_lin,
         fluid_ang=fluid_ang,
+        fluid_visc_lin=fluid_visc_lin,
+        fluid_visc_ang=fluid_visc_ang,
         limit_timeconst=limit_tc,
     )
 
@@ -631,7 +645,7 @@ _OPT_ARRAY_FIELDS = [
     "body_angle", "geom_p0", "geom_p1", "geom_radius", "geom_friction",
     "pair_geoms", "rope_body", "rope_pos", "rope_max", "frictionloss",
     "act_moment", "dof_ref", "eq_moment", "eq_ref", "wall_normal", "wall_offset",
-    "fluid_lin", "fluid_ang",
+    "fluid_lin", "fluid_ang", "fluid_visc_lin", "fluid_visc_ang",
 ]
 _TUPLE_FIELDS = ["parent", "dof_body", "dof_type", "act_dof", "con_body"]
 _OPT_TUPLE_FIELDS = ["geom_body"]

@@ -53,6 +53,28 @@ def test_smooth_and_fluid_parity(rng):
         np.testing.assert_allclose(fluid, d.qfrc_passive, atol=1e-10)
 
 
+def test_fluid_viscosity_parity(rng):
+    """The linear (Stokes) viscosity terms of the inertia-box fluid model,
+    pinned against MuJoCo with the swimmer model's viscosity turned on
+    (no suite task ships nonzero viscosity, so modify the option here)."""
+    from surreal_tpu.envs.physics import model as pm_mod
+
+    for dens, visc in ((3000.0, 2.0), (0.0, 1.5)):
+        env = _oracle()
+        mj, d = env.physics.model._model, env.physics.data._data
+        mj.opt.density = dens
+        mj.opt.viscosity = visc
+        pm = pm_mod.from_mujoco(mj)
+        for _ in range(3):
+            d.qpos[:] = rng.uniform(-0.6, 0.6, mj.nq)
+            d.qvel[:] = rng.uniform(-3, 3, mj.nv)
+            mujoco.mj_forward(mj, d)
+            fluid = np.asarray(
+                engine.fluid_forces(pm, jnp.array(d.qpos.copy()), jnp.array(d.qvel.copy()))
+            )
+            np.testing.assert_allclose(fluid, d.qfrc_passive, atol=1e-10)
+
+
 def test_trajectory_parity_smooth_regime(rng):
     """Step-for-step qpos agreement with mj_step while joint limits stay
     inactive (the soft-limit solver is intentionally approximate)."""
