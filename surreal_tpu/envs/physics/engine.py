@@ -426,6 +426,16 @@ def has_constraints(m: PlanarModel) -> bool:
     )
 
 
+# Baumgarte push-out velocity cap (m/s resp. rad/s). Healthy resting
+# violations are ~1e-3 units → push targets ~0.05, far below the cap; but a
+# DEEP violation (a crumpled hopper driven ~2 rad past a joint limit) would
+# otherwise command viol/timeconst ≈ 100 rad/s and inject unbounded energy
+# every substep — the runaway that NaN'd hopper-stand/walker-run training.
+# MuJoCo's solref dynamics are impedance-weighted damped springs and
+# therefore bounded; this cap is the velocity-level equivalent.
+_PUSH_CAP = 2.0
+
+
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
                     relax: float = 0.7, return_impulses: bool = False):
     """Row layout: [normals (ground+pair+wall) | tangents (same, boxed by
@@ -451,21 +461,21 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         active = (depth > 0).astype(dtype)
         n_rows.append(J[:, 1, :] * active[:, None])
         t_rows.append(J[:, 0, :] * active[:, None])
-        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        n_targets.append(jnp.minimum(jnp.maximum(depth, 0.0) / m.contact_timeconst, _PUSH_CAP))
         mus.append(jnp.asarray(m.con_friction, dtype))
     if npair:
         Jn, Jt, depth, mu = _pair_kinematics(m, q, fkd=fkd)
         active = (depth > 0).astype(dtype)
         n_rows.append(Jn * active[:, None])
         t_rows.append(Jt * active[:, None])
-        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        n_targets.append(jnp.minimum(jnp.maximum(depth, 0.0) / m.contact_timeconst, _PUSH_CAP))
         mus.append(mu)
     if nwall:
         Jn, Jt, depth, mu = _wall_kinematics(m, q, fkd=fkd)
         active = (depth > 0).astype(dtype)
         n_rows.append(Jn * active[:, None])
         t_rows.append(Jt * active[:, None])
-        n_targets.append(jnp.maximum(depth, 0.0) / m.contact_timeconst)
+        n_targets.append(jnp.minimum(jnp.maximum(depth, 0.0) / m.contact_timeconst, _PUSH_CAP))
         mus.append(mu)
 
     rows, targets = [], []
@@ -491,7 +501,7 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         Jr, stretch = _rope_kinematics(m, q, fkd=fkd)
         active = (stretch > 0).astype(dtype)
         rows.append(Jr * active[:, None])
-        targets.append(jnp.maximum(stretch, 0.0) / m.contact_timeconst)
+        targets.append(jnp.minimum(jnp.maximum(stretch, 0.0) / m.contact_timeconst, _PUSH_CAP))
     if has_limits:
         lo = jnp.asarray(m.joint_range[:, 0], dtype)
         hi = jnp.asarray(m.joint_range[:, 1], dtype)
@@ -499,12 +509,15 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         viol_hi = jnp.maximum(q - hi, 0.0)
         lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
         rows.append(jnp.diag(lim_sign))  # row j = s_j e_j (zero when inactive)
-        targets.append((viol_lo + viol_hi) / m.limit_timeconst)
+        targets.append(jnp.minimum((viol_lo + viol_hi) / m.limit_timeconst, _PUSH_CAP))
     if ne:
         # bilateral coupling rows: drive E q back to eq_ref (λ unbounded)
         E = jnp.asarray(m.eq_moment, dtype)
         rows.append(E)
-        targets.append(-(E @ q - jnp.asarray(m.eq_ref, dtype)) / m.eq_timeconst)
+        targets.append(jnp.clip(
+            -(E @ q - jnp.asarray(m.eq_ref, dtype)) / m.eq_timeconst,
+            -_PUSH_CAP, _PUSH_CAP,
+        ))
 
     J_all = jnp.concatenate(rows, 0)  # (C, nv)
     target = jnp.concatenate(targets, 0)  # (C,)
@@ -512,7 +525,13 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
 
     MJ = J_all @ M_inv  # (C, nv)
     W = MJ @ J_all.T  # (C, C) Delassus
-    diagW = jnp.maximum(jnp.diagonal(W), 1e-9)
+    # Row-sum (mass-splitting) scaling, NOT plain diagonal scaling: for
+    # PSD W, diag(Σ_j |W_ij|) ⪰ W (symmetric diagonal dominance), so the
+    # projected-Jacobi sweep below is a non-expansive projected gradient
+    # step and provably converges. Diagonal scaling diverged on redundant
+    # row stacks (12 ground contacts + limits on 7 dofs for a crumpled
+    # hopper: |v| grew ~2× per 20 sweeps — the hopper/walker blowup).
+    diagW = jnp.maximum(jnp.sum(jnp.abs(W), axis=1), 1e-9)
     b = J_all @ v - target
 
     def project(lam):
@@ -561,14 +580,14 @@ def _project_gs(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
         wn = jnp.maximum(jnp.einsum("cv,cv->c", Jn, MJn), 1e-9)
         wt = jnp.maximum(jnp.einsum("cv,cv->c", Jt, MJt), 1e-9)
         # Baumgarte push-out: resolve penetration over contact_timeconst.
-        v_push = jnp.where(active, depth, 0.0) / m.contact_timeconst
+        v_push = jnp.minimum(jnp.where(active, depth, 0.0) / m.contact_timeconst, _PUSH_CAP)
     if has_limits:
         lo = jnp.asarray(m.joint_range[:, 0], dtype)
         hi = jnp.asarray(m.joint_range[:, 1], dtype)
         viol_lo = jnp.maximum(lo - q, 0.0)
         viol_hi = jnp.maximum(q - hi, 0.0)
         lim_sign = jnp.sign(viol_lo - viol_hi) * jnp.asarray(m.limited, dtype)
-        lim_push = (viol_lo + viol_hi) / m.limit_timeconst
+        lim_push = jnp.minimum((viol_lo + viol_hi) / m.limit_timeconst, _PUSH_CAP)
         w_dof = jnp.maximum(jnp.diagonal(M_inv), 1e-9)
         lim_dofs = [j for j in range(m.nv) if m.limited[j]]
 
