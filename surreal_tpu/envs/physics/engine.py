@@ -468,7 +468,17 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         active = (depth > 0).astype(dtype)
         n_rows.append(Jn * active[:, None])
         t_rows.append(Jt * active[:, None])
-        n_targets.append(jnp.minimum(jnp.maximum(depth, 0.0) / m.contact_timeconst, _PUSH_CAP))
+        # Velocity-gated impact stiffening (see PlanarModel.pair_beta):
+        # a DYNAMIC contact (relative motion at the contact point) gets the
+        # stiff push that reproduces MuJoCo's soft-spring impact impulses
+        # (its damping term b·v plays the same role, b·h ≈ 1.1); a RESTING
+        # contact exits penetration in exactly one step (no overshoot, so
+        # stacks stay quiet). _PUSH_CAP still bounds the injected velocity.
+        speed = jnp.abs(Jn @ v) + jnp.abs(Jt @ v)
+        dyn = jnp.clip((speed - 0.1) / 0.4, 0.0, 1.0)
+        beta = 1.0 + dyn * (m.pair_beta - 1.0)
+        n_targets.append(jnp.minimum(
+            jnp.maximum(depth, 0.0) / (beta * h), _PUSH_CAP))
         mus.append(mu)
     if nwall:
         Jn, Jt, depth, mu = _wall_kinematics(m, q, fkd=fkd)
@@ -532,14 +542,42 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     # row stacks (12 ground contacts + limits on 7 dofs for a crumpled
     # hopper: |v| grew ~2× per 20 sweeps — the hopper/walker blowup).
     diagW = jnp.maximum(jnp.sum(jnp.abs(W), axis=1), 1e-9)
+    if N:
+        # Each contact's (normal, tangent) rows share one scale so the
+        # per-pair metric is isotropic and the friction-CONE projection
+        # below is the exact Euclidean projection in the scaled norm
+        # (larger shared scale only slows convergence, never diverges).
+        shared = jnp.maximum(diagW[:N], diagW[N : 2 * N])
+        diagW = jnp.concatenate([shared, shared, diagW[2 * N :]])
     b = J_all @ v - target
+    # Elliptic-cone treatment for body-body pair rows (manipulation
+    # domains): MuJoCo's convex solver projects (λn, λt) JOINTLY onto the
+    # friction cone, so strong tangential slip raises the normal force —
+    # the mechanism that lets a fingertip stroke fling the finger-spin
+    # paddle (diagnosed in tools/diag_finger_rows.py: boxed friction gave
+    # 0.38 impulse where MuJoCo produced 0.98). Ground/wall rows keep the
+    # boxed clamp that the validated locomotion curves were trained with;
+    # revisit promoting them after re-benchmarking hopper/walker.
+    cone = jnp.zeros((N,), bool).at[nc : nc + npair].set(True) if N else None
 
     def project(lam):
         parts = []
         if N:
-            lam_n = jnp.maximum(lam[:N], 0.0)
-            bound = mu_all * lam_n
-            parts += [lam_n, jnp.clip(lam[N : 2 * N], -bound, bound)]
+            ln, lt = lam[:N], lam[N : 2 * N]
+            at = jnp.abs(lt)
+            # joint projection onto {(n, t): n >= 0, |t| <= mu n}
+            inside = at <= mu_all * ln
+            polar = mu_all * at <= -ln  # polar cone -> zero impulse
+            s = (ln + mu_all * at) / (1.0 + mu_all * mu_all)
+            ln_cone = jnp.where(inside, jnp.maximum(ln, 0.0),
+                                jnp.where(polar, 0.0, s))
+            lt_cone = jnp.where(inside, lt,
+                                jnp.where(polar, 0.0, jnp.sign(lt) * mu_all * s))
+            # boxed fallback (ground/wall rows)
+            ln_box = jnp.maximum(ln, 0.0)
+            lt_box = jnp.clip(lt, -mu_all * ln_box, mu_all * ln_box)
+            parts += [jnp.where(cone, ln_cone, ln_box),
+                      jnp.where(cone, lt_cone, lt_box)]
         if F:
             parts.append(jnp.clip(lam[2 * N : 2 * N + F], -fric_bound, fric_bound))
         if nn_end > 2 * N + F:

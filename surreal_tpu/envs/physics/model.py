@@ -66,6 +66,16 @@ class PlanarModel:
     # MuJoCo's solref timeconst) ---
     contact_timeconst: float = 0.02  # MuJoCo default solref timeconst
     limit_timeconst: float = 0.02
+    # Body-body pair contacts use a stiffer push-out: MuJoCo's soft-spring
+    # contact converts penetration into large restoring forces (a 5.4 mm
+    # finger-spin penetration produced a ~98 N force — measured in
+    # tools/diag_finger_rows.py), which is the impulse scale that lets a
+    # fingertip fling the spinner paddle. β=0.5 matches MuJoCo's impact
+    # impulse on the matched-state probe (1.01 vs 0.98); applied only to
+    # DYNAMIC contacts (velocity-gated in the engine) so resting stacks
+    # keep the overshoot-free β=1 and stay quiet. _PUSH_CAP still bounds
+    # the injected velocity.
+    pair_beta: float = 0.5  # dynamic-contact push = depth / (pair_beta · dt)
 
     # --- body frame rotations (nb,) — planar angle offsets from body_quat
     # (manipulation models rotate finger frames); None ⇒ all zero ---

@@ -68,7 +68,9 @@ def main():
 
     tag = args.tag or f"{args.env.replace('-', '_')}_{args.algo}"
     out_path = os.path.join(os.path.dirname(__file__), "..", "results", f"{tag}.txt")
-    out = open(out_path, "w")
+    # Write to .partial and rename only after EVAL lands: a crashed/killed job
+    # must never leave an empty results/<tag>.txt that reads as silent success.
+    out = open(out_path + ".partial", "w")
     out.write(f"# {' '.join(sys.argv)}\n")
     hidden = tuple(int(x) for x in args.hidden.split(","))
     t_start = time.perf_counter()
@@ -117,6 +119,7 @@ def main():
     out.write(f"EVAL {json.dumps(stats)}\n")
     out.write(f"WALL_S {time.perf_counter() - t_start:.0f}\n")
     out.close()
+    os.replace(out_path + ".partial", out_path)
     print("eval:", stats)
     print("wrote", os.path.relpath(out_path))
 
