@@ -77,6 +77,12 @@ class PPOConfig:
     # zero_optimizer=True); the unsharded trainer ignores it.
     zero_optimizer: bool = False
     zero_shards: int = 1
+    # Time-axis sharding of the GAE scan (SURVEY.md §2D TimeShardedScan):
+    # when > 1, `update` computes advantages with each `time` mesh shard
+    # scanning horizon/K steps and exchanging block-summary carries
+    # (parallel/tshard.py). PPOTrainer(mesh=...) sets this from the mesh's
+    # time axis; requires running inside a shard_map over that mesh.
+    time_shards: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -318,10 +324,22 @@ def update(
         return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
 
     obs = norm(traj.obs)
-    adv, vtarg = gae(
-        traj.reward, traj.value, traj.next_value, traj.discount, traj.done,
-        cfg.gamma, cfg.lam,
-    )
+    if cfg.time_shards > 1:
+        # GAE delta/coef (same recurrence as ops.returns.gae) with the
+        # reverse scan split over the `time` mesh axis.
+        from surreal_tpu.parallel.mesh import TIME_AXIS
+        from surreal_tpu.parallel.tshard import replicated_reverse_scan
+
+        dones_f = traj.done.astype(traj.value.dtype)
+        delta = traj.reward + cfg.gamma * traj.discount * traj.next_value - traj.value
+        coef = cfg.gamma * cfg.lam * traj.discount * (1.0 - dones_f)
+        adv = replicated_reverse_scan(delta, coef, TIME_AXIS)
+        vtarg = adv + traj.value
+    else:
+        adv, vtarg = gae(
+            traj.reward, traj.value, traj.next_value, traj.discount, traj.done,
+            cfg.gamma, cfg.lam,
+        )
     if cfg.normalize_adv:
         a_mean = pmean(jnp.mean(adv))
         a_var = pmean(jnp.mean((adv - a_mean) ** 2))

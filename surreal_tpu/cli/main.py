@@ -52,7 +52,10 @@ def _parse_overrides(unknown: list[str]) -> dict:
 def _make_mesh(session):
     """session.mesh.{data,model,time} -> Mesh or None (single device).
     data=None leaves the trainer unsharded; data='all' or an int builds the
-    mesh (the reference's symphony topology collapsed to axis sizes)."""
+    mesh (the reference's symphony topology collapsed to axis sizes).
+    model>1 selects the GSPMD tensor-parallel PPO step; time>1 shards the
+    GAE scan over the time axis (both golden-tested in tests/test_tp.py;
+    DDPG accepts the data axis only and rejects the others)."""
     m = session.mesh
     if m.data is None and int(m.model) == 1 and int(m.time) == 1:
         return None
@@ -63,15 +66,20 @@ def _make_mesh(session):
 
 
 def _build_trainer(learner, env_cfg, session):
+    import jax.numpy as jnp
+
     seed = int(session.seed)
     algo_cfg = to_algo_config(learner)
     mesh = _make_mesh(session)
+    # bf16 training knob (SURVEY.md §7: bf16 matmul on the MXU) — the
+    # network's compute dtype; params/optimizer stay f32 (flax convention).
+    dtype = jnp.dtype(str(learner.compute_dtype))
     if learner.algo == "ppo":
         from surreal_tpu.train import PPOTrainer
 
         return PPOTrainer(
             env_cfg.env_name, algo_cfg, num_envs=int(env_cfg.num_envs), seed=seed,
-            hidden=tuple(learner.hidden), mesh=mesh,
+            hidden=tuple(learner.hidden), mesh=mesh, compute_dtype=dtype,
             pixel_obs=bool(env_cfg.pixel_obs),
             pixel_kwargs=env_cfg.pixel.to_dict() if env_cfg.pixel_obs else None,
             use_lstm=bool(learner.use_lstm), lstm_size=int(learner.lstm_size),
@@ -85,6 +93,7 @@ def _build_trainer(learner, env_cfg, session):
             env_cfg.env_name, algo_cfg, num_envs=int(env_cfg.num_envs), seed=seed,
             actor_hidden=tuple(learner.actor_hidden),
             critic_hidden=tuple(learner.critic_hidden), mesh=mesh,
+            compute_dtype=dtype,
         )
 
 

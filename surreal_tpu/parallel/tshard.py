@@ -38,6 +38,40 @@ def _local_block(x, c):
     return local, P
 
 
+def replicated_reverse_scan(x, c, axis_name: str = TIME_AXIS):
+    """Per-device form of the time-sharded scan, for use INSIDE an existing
+    `shard_map` whose mesh carries `axis_name` (the product trainers' path:
+    the data axis shards envs, the time axis splits the GAE scan).
+
+    x, c: (T, ...) arrays REPLICATED along `axis_name` (each time-shard
+    holds the full horizon, as produced by the sequential rollout). Each
+    shard scans its own T/K block, exchanges the 2-scalar block summaries,
+    and the full (T, ...) result is re-gathered — identical on every shard.
+    Exact (same linear-recurrence decomposition as
+    `time_sharded_reverse_scan`; golden-tested against the local scan).
+    """
+    K = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    T = x.shape[0]
+    assert T % K == 0, f"horizon {T} not divisible by time axis {K}"
+    blk = T // K
+    x_blk = jax.lax.dynamic_slice_in_dim(x, my * blk, blk, 0)
+    c_blk = jax.lax.dynamic_slice_in_dim(c, my * blk, blk, 0)
+    local, Pfx = _local_block(x_blk, c_blk)
+    A_all = jax.lax.all_gather(Pfx[0], axis_name)  # (K, ...)
+    B_all = jax.lax.all_gather(local[0], axis_name)
+
+    def fold(b, carry):
+        i = K - 1 - b  # fold from the last block backwards
+        use = i > my  # only blocks strictly after mine contribute
+        return jnp.where(use, B_all[i] + A_all[i] * carry, carry)
+
+    carry = jax.lax.fori_loop(0, K, fold, jnp.zeros_like(local[0]))
+    y_blk = local + Pfx * carry
+    y_all = jax.lax.all_gather(y_blk, axis_name)  # (K, blk, ...)
+    return y_all.reshape((T,) + x.shape[1:])
+
+
 def time_sharded_reverse_scan(mesh: Mesh, x, c, axis_name: str = TIME_AXIS):
     """Compute y_t = x_t + c_t y_{t+1} with the T axis sharded over
     `axis_name`. x, c: (T, ...) global arrays (sharded on axis 0)."""

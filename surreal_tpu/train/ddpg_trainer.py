@@ -64,6 +64,14 @@ class DDPGTrainer:
             # sharding — the reference's hash-routed replay servers).
             if debug_checks:
                 raise ValueError("debug_checks is single-device only")
+            from surreal_tpu.parallel.mesh import MODEL_AXIS, TIME_AXIS
+
+            for ax in (MODEL_AXIS, TIME_AXIS):
+                if mesh.shape.get(ax, 1) > 1:  # no silent no-op (r2 weak #5)
+                    raise ValueError(
+                        f"mesh.{ax} > 1 is a PPO-only feature; the DDPG "
+                        "trainer supports the data axis only"
+                    )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from surreal_tpu.parallel.dp import (

@@ -93,7 +93,9 @@ class PPOTrainer:
         if mesh is not None:
             # Data-parallel path (reference's actor fleet + param broadcast,
             # SURVEY.md §2D): env batch sharded over the `data` axis, params
-            # replicated via pmean'd gradients.
+            # replicated via pmean'd gradients. Optional extra axes:
+            # `time` splits the GAE scan across time shards (tshard.py);
+            # `model` switches to the GSPMD tensor-parallel path below.
             if debug_checks:
                 raise ValueError("debug_checks is single-device only")
             from surreal_tpu.parallel.dp import (
@@ -103,7 +105,38 @@ class PPOTrainer:
                 shard_env_batch,
                 train_state_spec,
             )
-            from surreal_tpu.parallel.mesh import data_axis_size
+            from surreal_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                TIME_AXIS,
+                data_axis_size,
+            )
+
+            model_shards = mesh.shape.get(MODEL_AXIS, 1)
+            time_shards = mesh.shape.get(TIME_AXIS, 1)
+            if model_shards > 1 and time_shards > 1:
+                raise ValueError("mesh.model and mesh.time cannot both be > 1")
+            if model_shards > 1:
+                # Tensor parallelism (SURVEY.md §2D TP row) the XLA way:
+                # jit the WHOLE fused train step with NamedShardings — env
+                # batch over `data`, Dense kernels (and their Adam moments)
+                # alternately column-/row-parallel over `model` — and let
+                # GSPMD insert the collectives. No shard_map: inside manual
+                # shards flax matmuls on partial kernels would be wrong.
+                if use_lstm or cfg.zero_optimizer or cfg.publish_every > 1:
+                    raise ValueError(
+                        "mesh.model > 1 (GSPMD TP path) does not compose with "
+                        "use_lstm / zero_optimizer / publish_every yet"
+                    )
+                self._init_gspmd_tp(cfg, step_fn, mesh, model_shards)
+                return
+            if time_shards > 1:
+                if cfg.horizon % time_shards != 0:
+                    raise ValueError(
+                        f"horizon {cfg.horizon} not divisible by time axis "
+                        f"{time_shards}"
+                    )
+                cfg = dataclasses.replace(cfg, time_shards=time_shards)
+                self.cfg = cfg
 
             shards = data_axis_size(mesh)
             if num_envs % shards != 0:
@@ -142,6 +175,37 @@ class PPOTrainer:
                     ppo.train_step, self.cfg, self.net.apply, step_fn, self._flatten
                 )
             )
+
+    def _init_gspmd_tp(self, cfg, step_fn, mesh, model_shards: int):
+        """GSPMD tensor-parallel train step: global-array jit with sharded
+        inputs (no shard_map, no axis_name — jnp reductions are global and
+        XLA all-reduces partial matmul products where the TP shardings
+        require it). Golden-tested against the unsharded step
+        (tests/test_tp.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from surreal_tpu.parallel.mesh import DATA_AXIS
+        from surreal_tpu.parallel.tp import tp_kernel_specs, tp_tree_sharding
+
+        kspecs = tp_kernel_specs(self.state.params, model_shards)
+        state_sh = tp_tree_sharding(mesh, self.state, kspecs)
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        rep = NamedSharding(mesh, P())
+
+        def shard_data(tree):
+            return jax.tree.map(lambda x: jax.device_put(x, data_sh), tree)
+
+        self.state = jax.tree.map(jax.device_put, self.state, state_sh)
+        self.env_state = shard_data(self.env_state)
+        self.obs = shard_data(self.obs)
+        self.ep_ret = shard_data(self.ep_ret)
+        env_sh = jax.tree.map(lambda _: data_sh, self.env_state)
+        self._train_step = jax.jit(
+            partial(ppo.train_step, self.cfg, self.net.apply, step_fn, self._flatten),
+            in_shardings=(state_sh, env_sh, data_sh, data_sh, rep),
+            out_shardings=(state_sh, env_sh, data_sh, data_sh, rep),
+            donate_argnums=(1, 2, 3),
+        )
 
     @property
     def steps_per_iteration(self) -> int:
