@@ -100,10 +100,18 @@ def noise_ladder(cfg: DDPGConfig, num_envs: int) -> np.ndarray:
     return np.geomspace(cfg.sigma_min, cfg.sigma_max, num_envs).astype(np.float32)
 
 
-def init_replay(cfg: DDPGConfig, num_envs: int, obs_dim: int, action_dim: int) -> ReplayState:
+def init_replay(
+    cfg: DDPGConfig, num_envs: int, obs_dim: int, action_dim: int,
+    obs_shape: tuple | None = None, obs_dtype=jnp.float32,
+) -> ReplayState:
+    """HBM ring replay. `obs_shape`/`obs_dtype` override the flat (obs_dim,)
+    layout for pixel observations — stored RAW uint8 (21 KB/frame at 84×84
+    stack-3 grayscale vs 85 KB as f32), normalized only inside the conv stem.
+    Pixel runs need cfg.replay_capacity sized to HBM (~100k transitions)."""
     capacity_t = max(cfg.replay_capacity // num_envs, cfg.rollout_steps)
+    shape = (num_envs,) + (obs_shape if obs_shape is not None else (obs_dim,))
     example = {
-        "obs": jnp.zeros((num_envs, obs_dim)),
+        "obs": jnp.zeros(shape, obs_dtype),
         "action": jnp.zeros((num_envs, action_dim)),
         "reward": jnp.zeros((num_envs,)),
         "done": jnp.zeros((num_envs,), jnp.bool_),

@@ -87,13 +87,13 @@ def _build_trainer(learner, env_cfg, session):
     else:
         from surreal_tpu.train import DDPGTrainer
 
-        if env_cfg.pixel_obs:
-            raise SystemExit("pixel_obs is supported for ppo only")
         return DDPGTrainer(
             env_cfg.env_name, algo_cfg, num_envs=int(env_cfg.num_envs), seed=seed,
             actor_hidden=tuple(learner.actor_hidden),
             critic_hidden=tuple(learner.critic_hidden), mesh=mesh,
             compute_dtype=dtype,
+            pixel_obs=bool(env_cfg.pixel_obs),
+            pixel_kwargs=env_cfg.pixel.to_dict() if env_cfg.pixel_obs else None,
         )
 
 

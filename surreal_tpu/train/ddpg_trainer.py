@@ -27,32 +27,59 @@ class DDPGTrainer:
         actor_hidden=(300, 200),
         critic_hidden=(400, 300),
         compute_dtype=jnp.float32,
+        pixel_obs: bool = False,
+        pixel_kwargs: dict | None = None,
         env_kwargs: dict | None = None,
         debug_checks: bool = False,
         mesh=None,  # jax.sharding.Mesh -> data-parallel sharded train step
     ):
-        self.cfg = cfg or ddpg.DDPGConfig()
+        import dataclasses
+
+        cfg = cfg or ddpg.DDPGConfig()
         self.env = make_env(env_name, **(env_kwargs or {}))
         self.num_envs = num_envs
         self.log = get_logger("ddpg")
 
-        obs_dim = env_base.obs_flat_dim(self.env)
+        if pixel_obs:
+            # CNN-stem DDPG (reference DDPG model's shared conv-stem option,
+            # SURVEY.md §2 DDPG-model row): PixelWrapper frames stored RAW
+            # uint8 in replay, scaled inside ConvStem; Z-filter is a low-dim
+            # concept and stays off.
+            from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
+
+            self.env = PixelWrapper(self.env, **(pixel_kwargs or {}))
+            self._flatten = pixel_flatten_obs
+            cfg = dataclasses.replace(cfg, use_zfilter=False)
+            pix_spec = self.env.obs_spec()["pixel"]
+            obs_zeros = jnp.zeros((1,) + tuple(pix_spec.shape), pix_spec.dtype)
+            obs_dim = 1  # zfilter placeholder; unused for pixels
+        else:
+            self._flatten = env_base.flatten_obs
+            obs_dim = env_base.obs_flat_dim(self.env)
+            obs_zeros = jnp.zeros((1, obs_dim))
+        self.cfg = cfg
         act_dim = self.env.action_dim
-        self.actor = DDPGActor(act_dim, tuple(actor_hidden), compute_dtype=compute_dtype)
-        self.critic = DDPGCritic(tuple(critic_hidden), compute_dtype=compute_dtype)
+        self.actor = DDPGActor(act_dim, tuple(actor_hidden),
+                               pixel_obs=pixel_obs, compute_dtype=compute_dtype)
+        self.critic = DDPGCritic(tuple(critic_hidden),
+                                 pixel_obs=pixel_obs, compute_dtype=compute_dtype)
 
         key = jax.random.PRNGKey(seed)
         self.key, k_a, k_c, k_reset = jax.random.split(key, 4)
-        actor_params = self.actor.init(k_a, jnp.zeros((1, obs_dim)))
-        critic_params = self.critic.init(k_c, jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim)))
+        actor_params = self.actor.init(k_a, obs_zeros)
+        critic_params = self.critic.init(k_c, obs_zeros, jnp.zeros((1, act_dim)))
         self.state = ddpg.init_state(self.cfg, actor_params, critic_params, obs_dim)
-        self.replay = ddpg.init_replay(self.cfg, num_envs, obs_dim, act_dim)
+        self.replay = ddpg.init_replay(
+            self.cfg, num_envs, obs_dim, act_dim,
+            obs_shape=obs_zeros.shape[1:] if pixel_obs else None,
+            obs_dtype=obs_zeros.dtype if pixel_obs else jnp.float32,
+        )
         self.sigma = jnp.asarray(ddpg.noise_ladder(self.cfg, num_envs))
 
         reset_fn, step_fn = env_base.vectorize(self.env)
         env_state, ts0 = jax.jit(reset_fn)(jax.random.split(k_reset, num_envs))
         self.env_state = env_state
-        self.obs = env_base.flatten_obs(ts0.obs)
+        self.obs = self._flatten(ts0.obs)
         self.ou_state = jnp.zeros((num_envs, act_dim))
         self.ep_ret = jnp.zeros((num_envs,), jnp.float32)
         self.global_iter = 0  # lifetime iteration count (survives checkpoint)
@@ -84,7 +111,7 @@ class DDPGTrainer:
                 raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
             build = make_sharded_ddpg_step(
                 self.cfg, self.actor.apply, self.critic.apply, step_fn,
-                env_base.flatten_obs, mesh,
+                self._flatten, mesh,
             )
             self._train_step = build(self.replay)
             # replay arrays are (T_cap, B, ...): shard on the env axis.
@@ -114,7 +141,7 @@ class DDPGTrainer:
                 self.actor.apply,
                 self.critic.apply,
                 step_fn,
-                env_base.flatten_obs,
+                self._flatten,
             )
         )
 
@@ -208,5 +235,6 @@ class DDPGTrainer:
 
         zf = self.state.zfilter if self.cfg.use_zfilter else None
         return evaluate_policy(
-            self.env, policy, self.state.actor_params, zf, episodes=episodes, seed=seed
+            self.env, policy, self.state.actor_params, zf, episodes=episodes,
+            seed=seed, flatten=self._flatten,
         )

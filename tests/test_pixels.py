@@ -128,3 +128,27 @@ def test_pixel_terminal_obs_approximation_magnitude():
         np.asarray(exact).astype(int) - np.asarray(ts.obs["pixel"]).astype(int)
     )
     assert err.mean() / 255.0 < 0.02, err.mean()
+
+
+def test_pixel_ddpg_trainer_smoke():
+    """Pixel DDPG (round-2 verdict missing #3): CNN-stem actor/critic,
+    uint8 replay storage, end-to-end fused train step runs finite."""
+    from surreal_tpu.algos.ddpg import DDPGConfig
+    from surreal_tpu.train import DDPGTrainer
+
+    cfg = DDPGConfig(rollout_steps=4, updates_per_iteration=2, batch_size=16,
+                     replay_capacity=512, min_replay=32, n_step=2)
+    tr = DDPGTrainer(
+        "cartpole-balance", cfg, num_envs=8, seed=0,
+        actor_hidden=(32,), critic_hidden=(32,),
+        pixel_obs=True,
+        pixel_kwargs=dict(height=32, width=32, frame_stack=2, grayscale=True,
+                          action_repeat=2),
+    )
+    assert tr.replay.data["obs"].dtype == jnp.uint8
+    logs = tr.run(12, log_every=12)  # past min_replay -> real updates
+    m = logs[-1]
+    assert np.isfinite(m["critic_loss"]) and np.isfinite(m["q_mean"])
+    assert int(tr.state.update_step) > 0
+    ev = tr.evaluate(episodes=2, seed=1)
+    assert np.isfinite(ev["return_mean"])

@@ -100,7 +100,14 @@ def main():
         from surreal_tpu.train import DDPGTrainer
 
         cfg = DDPGConfig(**_parse_sets(args.set)) if args.set else None
-        trainer = DDPGTrainer(args.env, cfg, num_envs=args.num_envs, seed=args.seed)
+        pixel_kwargs = None
+        if args.pixel:
+            pixel_kwargs = dict(
+                frame_stack=args.frame_stack, grayscale=True,
+                action_repeat=args.action_repeat,
+            )
+        trainer = DDPGTrainer(args.env, cfg, num_envs=args.num_envs, seed=args.seed,
+                              pixel_obs=args.pixel, pixel_kwargs=pixel_kwargs)
 
     iters = max(1, int(args.steps / trainer.steps_per_iteration))
     log_every = max(1, iters // 25)
