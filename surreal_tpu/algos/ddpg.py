@@ -56,6 +56,14 @@ class DDPGConfig:
     ou_dt: float = 1.0  # noise step in units of control steps
     sigma_min: float = 0.05
     sigma_max: float = 0.4
+    # Actor-side parameter staleness (the reference's pub-sub lag for DDPG
+    # actors — same semantics as PPOConfig.publish_every): rollouts act on a
+    # snapshot refreshed every K learner updates. 1 = zero staleness.
+    publish_every: int = 1
+    # ZeRO-1 sharded Adam moments over the data mesh axis (both optimizers);
+    # DDPGTrainer(mesh=...) sets zero_shards automatically.
+    zero_optimizer: bool = False
+    zero_shards: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -69,20 +77,35 @@ class DDPGTrainState:
     critic_opt: Any
     zfilter: ZFilterState
     update_step: jax.Array
+    # ParamSyncState actor snapshot when cfg.publish_every > 1, else None.
+    psync: Any = None
 
 
-def make_optimizers(cfg: DDPGConfig):
-    actor_opt = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.actor_lr)
-    )
-    critic_opt = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.critic_lr)
-    )
-    return actor_opt, critic_opt
+def make_optimizers(cfg: DDPGConfig, axis_name: str | None = None):
+    def make(lr):
+        if cfg.zero_optimizer and cfg.zero_shards > 1:
+            from surreal_tpu.parallel.zero import scale_by_zero_adam
+
+            adam = scale_by_zero_adam(
+                cfg.zero_shards, axis_name or "data", eps=1e-8
+            )  # eps matches optax.adam's default (exact-parity tested)
+        else:
+            adam = optax.scale_by_adam()
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), adam, optax.scale(-lr)
+        )
+
+    return make(cfg.actor_lr), make(cfg.critic_lr)
 
 
 def init_state(cfg: DDPGConfig, actor_params, critic_params, obs_dim: int) -> DDPGTrainState:
     a_opt, c_opt = make_optimizers(cfg)
+    if cfg.publish_every > 1:
+        from surreal_tpu.parallel.param_sync import param_sync_init
+
+        psync = param_sync_init(actor_params)
+    else:
+        psync = None
     return DDPGTrainState(
         actor_params=actor_params,
         critic_params=critic_params,
@@ -92,7 +115,13 @@ def init_state(cfg: DDPGConfig, actor_params, critic_params, obs_dim: int) -> DD
         critic_opt=c_opt.init(critic_params),
         zfilter=zfilter_init(obs_dim),
         update_step=jnp.asarray(0, jnp.int32),
+        psync=psync,
     )
+
+
+def acting_params(cfg: DDPGConfig, state: DDPGTrainState):
+    """Params the rollout side uses (published snapshot under staleness)."""
+    return state.psync.actor_params if cfg.publish_every > 1 else state.actor_params
 
 
 def noise_ladder(cfg: DDPGConfig, num_envs: int) -> np.ndarray:
@@ -141,9 +170,11 @@ def rollout(
     def norm(o):
         return zfilter_normalize(state.zfilter, o) if cfg.use_zfilter else o
 
+    pi = acting_params(cfg, state)
+
     def step(carry, key_t):
         env_state, obs, ou, ep_ret, done_sum = carry
-        a_det = actor_apply(state.actor_params, norm(obs))
+        a_det = actor_apply(pi, norm(obs))
         eps = jax.random.normal(key_t, a_det.shape, a_det.dtype)
         if cfg.noise_type == "ou":
             ou = ou + cfg.ou_theta * (0.0 - ou) * cfg.ou_dt + sigma[:, None] * np.sqrt(
@@ -201,7 +232,7 @@ def update(
     key,
     axis_name: str | None = None,
 ):
-    a_opt, c_opt = make_optimizers(cfg)
+    a_opt, c_opt = make_optimizers(cfg, axis_name)
 
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
@@ -258,6 +289,7 @@ def update(
             critic_opt=c_opt_state,
             zfilter=state.zfilter,
             update_step=step_no,
+            psync=state.psync,
         )
         metrics = {
             "critic_loss": c_loss,
@@ -314,5 +346,12 @@ def train_step(
         return state, metrics
 
     state, metrics = jax.lax.cond(ready, do_update, no_update, (state, k_up))
+    if cfg.publish_every > 1:  # publish-to-actors cadence (ref pub-sub lag)
+        from surreal_tpu.parallel.param_sync import param_sync_refresh
+
+        psync = param_sync_refresh(
+            state.psync, state.actor_params, state.update_step, cfg.publish_every
+        )
+        state = dataclasses.replace(state, psync=psync)
     metrics.update(ep_stats)
     return state, replay, env_state, obs, ou_state, ep_ret, metrics

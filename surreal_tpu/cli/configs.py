@@ -88,6 +88,8 @@ DDPG_BASE_LEARNER_CONFIG = Config(
     noise_type="ou",
     sigma_min=0.05,
     sigma_max=0.4,
+    publish_every=1,  # actor param staleness (reference's pub-sub lag)
+    zero_optimizer=False,  # shard Adam moments over the data axis (ZeRO-1)
     actor_hidden=[300, 200],
     critic_hidden=[400, 300],
     compute_dtype="float32",
@@ -127,7 +129,7 @@ def to_algo_config(learner: Config):
             "rollout_steps", "updates_per_iteration", "batch_size",
             "replay_capacity", "min_replay", "gamma", "n_step", "actor_lr",
             "critic_lr", "tau", "hard_sync_every", "use_zfilter", "noise_type",
-            "sigma_min", "sigma_max",
+            "sigma_min", "sigma_max", "publish_every", "zero_optimizer",
         ]
         return DDPGConfig(**{k: learner[k] for k in keys})
     raise ValueError(f"unknown algo {learner.algo!r}")

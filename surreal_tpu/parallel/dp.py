@@ -61,6 +61,7 @@ def make_sharded_ddpg_step(
     env_step: Callable,
     flatten_obs: Callable,
     mesh: Mesh,
+    state_spec=None,  # pytree of PartitionSpecs for the train state (ZeRO)
 ):
     """Data-parallel DDPG train step. The replay ring buffer is sharded
     with the envs (device-LOCAL insert and sampling — the reference's
@@ -90,11 +91,12 @@ def make_sharded_ddpg_step(
 
         data_spec = jax.tree.map(lambda _: P(None, DATA_AXIS), replay_example.data)
         rspec = ReplayState(data=data_spec, total=P())
+        sspec = P() if state_spec is None else state_spec
         sharded = shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(), rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=(P(), rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            in_specs=(sspec, rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(sspec, rspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
             check_rep=False,
         )
         return jax.jit(sharded, donate_argnums=(1, 2, 3, 4, 6))

@@ -36,6 +36,11 @@ class DDPGTrainer:
         import dataclasses
 
         cfg = cfg or ddpg.DDPGConfig()
+        if mesh is not None and cfg.zero_optimizer:
+            from surreal_tpu.parallel.mesh import data_axis_size
+
+            # ZeRO moment chunks must be allocated (K, chunk) up front
+            cfg = dataclasses.replace(cfg, zero_shards=data_axis_size(mesh))
         self.env = make_env(env_name, **(env_kwargs or {}))
         self.num_envs = num_envs
         self.log = get_logger("ddpg")
@@ -102,16 +107,18 @@ class DDPGTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from surreal_tpu.parallel.dp import (
-                make_sharded_ddpg_step, replicate, shard_env_batch,
+                make_sharded_ddpg_step, place_by_spec, shard_env_batch,
+                train_state_spec,
             )
             from surreal_tpu.parallel.mesh import DATA_AXIS, data_axis_size
 
             shards = data_axis_size(mesh)
             if num_envs % shards != 0:
                 raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
+            sspec = train_state_spec(self.state)  # P() everywhere unless ZeRO
             build = make_sharded_ddpg_step(
                 self.cfg, self.actor.apply, self.critic.apply, step_fn,
-                self._flatten, mesh,
+                self._flatten, mesh, state_spec=sspec,
             )
             self._train_step = build(self.replay)
             # replay arrays are (T_cap, B, ...): shard on the env axis.
@@ -120,7 +127,7 @@ class DDPGTrainer:
                 data=jax.tree.map(lambda x: jax.device_put(x, rsharding), self.replay.data),
                 total=jax.device_put(self.replay.total, NamedSharding(mesh, P())),
             )
-            self.state = replicate(mesh, self.state)
+            self.state = place_by_spec(mesh, self.state, sspec)
             self.sigma = shard_env_batch(mesh, self.sigma)
             self.env_state = shard_env_batch(mesh, self.env_state)
             self.obs = shard_env_batch(mesh, self.obs)

