@@ -453,3 +453,34 @@ def train_step(
     metrics.update(ep_stats)
     metrics["reward_per_step"] = jnp.mean(traj.reward)
     return state, env_state, obs, ep_ret, metrics
+
+
+def train_step_overlapped(
+    cfg: PPOConfig,
+    apply_fn,
+    env_step,
+    flatten_obs,
+    state: PPOTrainState,
+    env_state,
+    obs,
+    ep_ret,
+    pending: Trajectory,  # trajectory collected by the PREVIOUS iteration
+    key,
+    axis_name: str | None = None,
+):
+    """Double-buffered actor/learner overlap (SURVEY.md §2D async row,
+    caraml DataFetcher's role): iteration k trains on trajectory k-1 while
+    collecting trajectory k with the PRE-update params. Inside one jit the
+    two halves share no data dependencies, so XLA is free to interleave the
+    rollout's VPU-bound physics with the update's MXU-bound minibatch SGD.
+    Semantically this is exactly publish_every staleness of one update
+    (the reference's actors always ran >= 1 publish behind); measured
+    verdict vs the fused step in results/overlap_r3.txt."""
+    k_roll, k_up = jax.random.split(key)
+    traj, env_state, obs, ep_ret, ep_stats = rollout(
+        cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, ep_ret, k_roll
+    )
+    state, metrics = update(cfg, apply_fn, state, pending, k_up, axis_name=axis_name)
+    metrics.update(ep_stats)
+    metrics["reward_per_step"] = jnp.mean(pending.reward)
+    return state, env_state, obs, ep_ret, traj, metrics

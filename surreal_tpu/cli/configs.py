@@ -63,6 +63,7 @@ PPO_BASE_LEARNER_CONFIG = Config(
     lr_max_scale=10.0,
     kl_beta_init=1.0,
     fused_loss=False,
+    overlap=False,  # double-buffered rollout(k)/train(k-1) overlap
     publish_every=1,  # actor param staleness (reference's pub-sub lag)
     zero_optimizer=False,  # shard Adam moments over the data axis (ZeRO-1)
     use_lstm=False,

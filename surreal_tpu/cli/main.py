@@ -83,6 +83,7 @@ def _build_trainer(learner, env_cfg, session):
             pixel_obs=bool(env_cfg.pixel_obs),
             pixel_kwargs=env_cfg.pixel.to_dict() if env_cfg.pixel_obs else None,
             use_lstm=bool(learner.use_lstm), lstm_size=int(learner.lstm_size),
+            overlap=bool(learner.overlap),
         )
     else:
         from surreal_tpu.train import DDPGTrainer

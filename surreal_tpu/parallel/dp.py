@@ -141,6 +141,61 @@ def make_sharded_ppo_lstm_step(
     return jax.jit(sharded, donate_argnums=(1, 2, 3, 4))
 
 
+def make_sharded_ppo_overlap_step(
+    cfg: ppo.PPOConfig,
+    apply_fn: Callable,
+    env_step: Callable,
+    flatten_obs: Callable,
+    mesh: Mesh,
+    state_spec=None,
+):
+    """Sharded double-buffered variant (ppo.train_step_overlapped): the
+    pending trajectory shards with the env batch on its B axis (axis 1 of
+    the time-major arrays). Returns (train_step, prime_rollout)."""
+
+    def step(state, env_state, obs, ep_ret, pending, key):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard_id)
+        state, env_state, obs, ep_ret, traj, metrics = ppo.train_step_overlapped(
+            cfg, apply_fn, env_step, flatten_obs,
+            state, env_state, obs, ep_ret, pending, key, axis_name=DATA_AXIS,
+        )
+        metrics = {
+            k: (jax.lax.psum(v, DATA_AXIS) if k in ("episodes_done", "episode_return_sum")
+                else jax.lax.pmean(v, DATA_AXIS))
+            for k, v in metrics.items()
+        }
+        return state, env_state, obs, ep_ret, traj, metrics
+
+    def prime(state, env_state, obs, ep_ret, key):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard_id)
+        traj, env_state, obs, ep_ret, _ = ppo.rollout(
+            cfg, apply_fn, env_step, flatten_obs, state, env_state, obs, ep_ret, key
+        )
+        return traj, env_state, obs, ep_ret
+
+    sspec = P() if state_spec is None else state_spec
+    tspec = P(None, DATA_AXIS)
+    d = P(DATA_AXIS)
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(sspec, d, d, d, tspec, P()),
+        out_specs=(sspec, d, d, d, tspec, P()),
+        check_rep=False,
+    )
+    primer = shard_map(
+        prime, mesh=mesh,
+        in_specs=(sspec, d, d, d, P()),
+        out_specs=(tspec, d, d, d),
+        check_rep=False,
+    )
+    return (
+        jax.jit(sharded, donate_argnums=(1, 2, 3, 4)),
+        jax.jit(primer, donate_argnums=(1, 2, 3)),
+    )
+
+
 def make_sharded_ppo_step(
     cfg: ppo.PPOConfig,
     apply_fn: Callable,

@@ -40,8 +40,13 @@ class PPOTrainer:
         env_kwargs: dict | None = None,
         debug_checks: bool = False,
         mesh=None,  # jax.sharding.Mesh -> data-parallel sharded train step
+        overlap: bool = False,  # double-buffered rollout(k)/train(k-1) step
     ):
         cfg = cfg or ppo.PPOConfig()
+        if overlap and use_lstm:
+            raise ValueError("overlap does not compose with use_lstm")
+        self.overlap = overlap
+        self._pending = None  # overlap: trajectory awaiting its update
         if mesh is not None and cfg.zero_optimizer:
             from surreal_tpu.parallel.mesh import data_axis_size
 
@@ -122,10 +127,10 @@ class PPOTrainer:
                 # alternately column-/row-parallel over `model` — and let
                 # GSPMD insert the collectives. No shard_map: inside manual
                 # shards flax matmuls on partial kernels would be wrong.
-                if use_lstm or cfg.zero_optimizer or cfg.publish_every > 1:
+                if use_lstm or cfg.zero_optimizer or cfg.publish_every > 1 or overlap:
                     raise ValueError(
                         "mesh.model > 1 (GSPMD TP path) does not compose with "
-                        "use_lstm / zero_optimizer / publish_every yet"
+                        "use_lstm / zero_optimizer / publish_every / overlap yet"
                     )
                 self._init_gspmd_tp(cfg, step_fn, mesh, model_shards)
                 return
@@ -142,11 +147,19 @@ class PPOTrainer:
             if num_envs % shards != 0:
                 raise ValueError(f"num_envs={num_envs} not divisible by data axis {shards}")
             sspec = train_state_spec(self.state)  # P() everywhere unless ZeRO
-            maker = make_sharded_ppo_lstm_step if use_lstm else make_sharded_ppo_step
-            self._train_step = maker(
-                self.cfg, self.net.apply, step_fn, self._flatten, mesh,
-                state_spec=sspec,
-            )
+            if overlap:
+                from surreal_tpu.parallel.dp import make_sharded_ppo_overlap_step
+
+                self._train_step, self._prime = make_sharded_ppo_overlap_step(
+                    self.cfg, self.net.apply, step_fn, self._flatten, mesh,
+                    state_spec=sspec,
+                )
+            else:
+                maker = make_sharded_ppo_lstm_step if use_lstm else make_sharded_ppo_step
+                self._train_step = maker(
+                    self.cfg, self.net.apply, step_fn, self._flatten, mesh,
+                    state_spec=sspec,
+                )
             self.state = place_by_spec(mesh, self.state, sspec)
             self.env_state = shard_env_batch(mesh, self.env_state)
             self.obs = shard_env_batch(mesh, self.obs)
@@ -168,6 +181,16 @@ class PPOTrainer:
                 partial(
                     ppo_lstm.train_step, self.cfg, self.net.apply, step_fn, self._flatten
                 )
+            )
+        elif overlap:
+            self._train_step = wrap(
+                partial(
+                    ppo.train_step_overlapped, self.cfg, self.net.apply, step_fn,
+                    self._flatten,
+                )
+            )
+            self._prime = jax.jit(
+                partial(ppo.rollout, self.cfg, self.net.apply, step_fn, self._flatten)
             )
         else:
             self._train_step = wrap(
@@ -240,6 +263,7 @@ class PPOTrainer:
         self.global_iter = int(fs["global_iter"])
         if self.use_lstm:
             self.carry = fs["carry"]
+        self._pending = None  # overlap: re-primed on the next run() call
 
     def run(self, iterations: int, log_every: int = 10, metric_sink: Callable | None = None):
         """Returns list of host-side metric dicts (one per log interval)."""
@@ -248,6 +272,12 @@ class PPOTrainer:
         ep_ret_acc = jnp.zeros(())
         ep_cnt_acc = jnp.zeros(())
         t0 = time.perf_counter()
+        if self.overlap and self._pending is None:
+            # Prime the double buffer: one rollout with the initial params
+            # (its update happens in the first train iteration below).
+            self.key, sub = jax.random.split(self.key)
+            out = self._prime(self.state, self.env_state, self.obs, self.ep_ret, sub)
+            self._pending, self.env_state, self.obs, self.ep_ret = out[:4]
         for it in range(1, iterations + 1):
             self.key, sub = jax.random.split(self.key)
             if self.use_lstm:
@@ -256,6 +286,14 @@ class PPOTrainer:
                     self.ep_ret, metrics,
                 ) = self._train_step(
                     self.state, self.env_state, self.obs, self.carry, self.ep_ret, sub
+                )
+            elif self.overlap:
+                (
+                    self.state, self.env_state, self.obs, self.ep_ret,
+                    self._pending, metrics,
+                ) = self._train_step(
+                    self.state, self.env_state, self.obs, self.ep_ret,
+                    self._pending, sub,
                 )
             else:
                 self.state, self.env_state, self.obs, self.ep_ret, metrics = self._train_step(

@@ -187,3 +187,28 @@ def test_publish_every_param_staleness():
     cfg1 = ppo.PPOConfig(horizon=6, epochs=1, num_minibatches=1, publish_every=1)
     s1 = ppo.init_state(cfg1, params, obs_dim)
     assert s1.psync is None
+
+
+def test_overlapped_step_runs_and_learns():
+    """Double-buffered rollout(k)/train(k-1) overlap (SURVEY.md §2D async
+    row): one-update staleness semantics, still learns cartpole."""
+    cfg = ppo.PPOConfig(horizon=64, epochs=4, num_minibatches=4, lr=3e-4)
+    tr = PPOTrainer("cartpole-balance", cfg, num_envs=64, seed=0, overlap=True)
+    logs = tr.run(240, log_every=30)
+    best = max(m.get("episode_return", 0.0) for m in logs)
+    assert best > 600, f"best episode return {best}"
+
+
+def test_overlapped_sharded_step_runs():
+    import pytest as _pytest
+
+    if jax.device_count() < 8:
+        _pytest.skip("needs 8 devices")
+    from surreal_tpu.parallel import make_mesh
+
+    cfg = ppo.PPOConfig(horizon=16, epochs=2, num_minibatches=2)
+    tr = PPOTrainer("cartpole-balance", cfg, num_envs=16, seed=0,
+                    mesh=make_mesh(data=8), overlap=True)
+    logs = tr.run(3, log_every=3)
+    m = logs[-1]
+    assert np.isfinite(m["kl"]) and np.isfinite(m["grad_norm"])
