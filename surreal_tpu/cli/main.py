@@ -198,7 +198,7 @@ def cmd_train(algo: str, overrides: dict) -> int:
     return 0
 
 
-def cmd_eval(experiment: str, best: bool, episodes: int) -> int:
+def cmd_eval(experiment: str, best: bool, episodes: int, stochastic: bool) -> int:
     from surreal_tpu.train.checkpoint import Checkpointer
 
     with open(os.path.join(experiment, "config.json")) as f:
@@ -211,7 +211,10 @@ def cmd_eval(experiment: str, best: bool, episodes: int) -> int:
     trainer = _build_trainer(learner, env_cfg, session)
     ckpt = Checkpointer(os.path.join(experiment, "checkpoints"))
     trainer.load_full_state(ckpt.restore(trainer.full_state, best=best))
-    result = trainer.evaluate(episodes=episodes)
+    # eval-deterministic / eval-stochastic agent modes (reference's paired
+    # eval workers, SURVEY.md §3.5); DDPG eval is deterministic by nature.
+    kw = {"stochastic": True} if (stochastic and learner.algo == "ppo") else {}
+    result = trainer.evaluate(episodes=episodes, **kw)
     print(json.dumps(result))
     return 0
 
@@ -235,6 +238,8 @@ def main(argv=None) -> int:
     p_eval.add_argument("--experiment", required=True)
     p_eval.add_argument("--best", action="store_true")
     p_eval.add_argument("--episodes", type=int, default=16)
+    p_eval.add_argument("--stochastic", action="store_true",
+                        help="sample the policy (reference's eval-stochastic mode)")
 
     sub.add_parser("envs", help="list available environments")
     sub.add_parser("bench", help="run the headline benchmark")
@@ -245,7 +250,7 @@ def main(argv=None) -> int:
     if args.cmd == "eval":
         if unknown:
             raise SystemExit(f"unexpected args: {unknown}")
-        return cmd_eval(args.experiment, args.best, args.episodes)
+        return cmd_eval(args.experiment, args.best, args.episodes, args.stochastic)
     if args.cmd == "envs":
         from surreal_tpu.envs import available_envs
 

@@ -123,6 +123,13 @@ def main():
     trainer.run(iters, log_every=log_every, metric_sink=sink)
     stats = trainer.evaluate(episodes=args.eval_episodes, seed=123)
     stats = {k: float(v) if hasattr(v, "item") else v for k, v in stats.items()}
+    if args.algo == "ppo":  # reference's paired eval-stochastic worker
+        st = trainer.evaluate(episodes=args.eval_episodes, stochastic=True, seed=124)
+        out.write(
+            "EVAL_STOCH "
+            + json.dumps({k: float(v) if hasattr(v, "item") else v
+                          for k, v in st.items()}) + "\n"
+        )
     out.write(f"EVAL {json.dumps(stats)}\n")
     out.write(f"WALL_S {time.perf_counter() - t_start:.0f}\n")
     out.close()
