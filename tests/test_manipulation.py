@@ -181,3 +181,21 @@ def test_env_api_shapes_and_reset():
         assert ts.reward.shape == (4,)
         flat = env_base.flatten_obs(ts.obs)
         assert flat.shape == (4, env_base.obs_flat_dim(env))
+
+
+def test_finger_impact_impulse_scale():
+    """Pins the round-3 contact-transfer fix (cone projection + velocity-
+    gated stiff push): the matched-state impact probe that MuJoCo answers
+    with hinge peak -8.5 rad/s must keep ours >= 4.5 (it was 1.7 when PPO
+    plateaued at ~190; 5.15 post-fix — tools/diag_finger_impact.py)."""
+    env = make_env("finger-spin", dtype=jnp.float64)
+    from surreal_tpu.envs.physics import engine
+
+    q = jnp.array([0.54, -0.55, 0.0], jnp.float64)
+    qd = jnp.array([0.0, -6.0, 0.0], jnp.float64)
+    step = jax.jit(lambda q, qd: engine.step_euler(env.model, q, qd, jnp.zeros(2)))
+    peak = 0.0
+    for _ in range(5):
+        q, qd = step(q, qd)
+        peak = max(peak, abs(float(qd[2])))
+    assert peak >= 4.5, f"hinge peak {peak} — pair contacts softened?"
