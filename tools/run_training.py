@@ -54,6 +54,10 @@ def main():
     p.add_argument("--frame-stack", type=int, default=3)
     p.add_argument("--eval-episodes", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32",
+                   help="network compute dtype (bfloat16 for MXU-native)")
+    p.add_argument("--overlap", action="store_true",
+                   help="double-buffered rollout/train overlap (PPO)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -91,10 +95,14 @@ def main():
                 frame_stack=args.frame_stack, grayscale=True,
                 action_repeat=args.action_repeat,
             )
+        import jax.numpy as jnp
+
         trainer = PPOTrainer(args.env, cfg, num_envs=args.num_envs,
                              seed=args.seed, hidden=hidden,
+                             compute_dtype=jnp.dtype(args.dtype),
                              pixel_obs=args.pixel, pixel_kwargs=pixel_kwargs,
-                             use_lstm=args.lstm, lstm_size=args.lstm_size)
+                             use_lstm=args.lstm, lstm_size=args.lstm_size,
+                             overlap=args.overlap)
     else:
         from surreal_tpu.algos.ddpg import DDPGConfig
         from surreal_tpu.train import DDPGTrainer
