@@ -468,17 +468,22 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
         active = (depth > 0).astype(dtype)
         n_rows.append(Jn * active[:, None])
         t_rows.append(Jt * active[:, None])
-        # Velocity-gated impact stiffening (see PlanarModel.pair_beta):
-        # a DYNAMIC contact (relative motion at the contact point) gets the
-        # stiff push that reproduces MuJoCo's soft-spring impact impulses
-        # (its damping term b·v plays the same role, b·h ≈ 1.1); a RESTING
-        # contact exits penetration in exactly one step (no overshoot, so
-        # stacks stay quiet). _PUSH_CAP still bounds the injected velocity.
-        speed = jnp.abs(Jn @ v) + jnp.abs(Jt @ v)
-        dyn = jnp.clip((speed - 0.1) / 0.4, 0.0, 1.0)
-        beta = 1.0 + dyn * (m.pair_beta - 1.0)
-        n_targets.append(jnp.minimum(
-            jnp.maximum(depth, 0.0) / (beta * h), _PUSH_CAP))
+        # Pair push-out target (see PlanarModel.pair_push):
+        # - 'soft' (default): depth/timeconst, MuJoCo solref-like. Lets a
+        #   fingertip PRESS into the paddle and sweep — the strategy that
+        #   actually spins finger-spin (the stiff variant ejected the
+        #   finger on contact and PPO flatlined at 0.0 reward over 25M
+        #   steps; measured r3).
+        # - 'stiff_dynamic': velocity-gated depth/(β·dt) matching MuJoCo's
+        #   impact impulse scale; kept for impact-dominated scenes.
+        if m.pair_push == "stiff_dynamic":
+            speed = jnp.abs(Jn @ v) + jnp.abs(Jt @ v)
+            dyn = jnp.clip((speed - 0.1) / 0.4, 0.0, 1.0)
+            beta = 1.0 + dyn * (m.pair_beta - 1.0)
+            tgt = jnp.maximum(depth, 0.0) / (beta * h)
+        else:
+            tgt = jnp.maximum(depth, 0.0) / m.contact_timeconst
+        n_targets.append(jnp.minimum(tgt, _PUSH_CAP))
         mus.append(mu)
     if nwall:
         Jn, Jt, depth, mu = _wall_kinematics(m, q, fkd=fkd)
@@ -558,7 +563,8 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     # 0.38 impulse where MuJoCo produced 0.98). Ground/wall rows keep the
     # boxed clamp that the validated locomotion curves were trained with;
     # revisit promoting them after re-benchmarking hopper/walker.
-    cone = jnp.zeros((N,), bool).at[nc : nc + npair].set(True) if N else None
+    cone = (jnp.zeros((N,), bool).at[nc : nc + npair].set(m.pair_cone)
+            if N else None)
 
     def project(lam):
         parts = []

@@ -76,6 +76,14 @@ class PlanarModel:
     # keep the overshoot-free β=1 and stay quiet. _PUSH_CAP still bounds
     # the injected velocity.
     pair_beta: float = 0.5  # dynamic-contact push = depth / (pair_beta · dt)
+    # 'soft' = depth/contact_timeconst (sustained pressing possible —
+    # required for finger-spin's press-and-sweep strategy; the measured r3
+    # training outcome: stiff ejected the finger and PPO scored 0.0).
+    # 'stiff_dynamic' = the gated β push above.
+    pair_push: str = "soft"
+    # Elliptic friction-cone projection for pair rows (MuJoCo convex-solver
+    # coupling: tangential slip raises normal force). Boxed clamp when False.
+    pair_cone: bool = True
 
     # --- body frame rotations (nb,) — planar angle offsets from body_quat
     # (manipulation models rotate finger frames); None ⇒ all zero ---

@@ -52,10 +52,13 @@ class PPOTrainer:
 
             # ZeRO moment chunks must be allocated (K, chunk) up front
             cfg = dataclasses.replace(cfg, zero_shards=data_axis_size(mesh))
-        env_kwargs = dict(env_kwargs or {})
-        if env_name.startswith("gym:"):
-            env_kwargs.setdefault("num_envs", num_envs)
-        self.env = make_env(env_name, **env_kwargs)
+        if isinstance(env_name, str):
+            env_kwargs = dict(env_kwargs or {})
+            if env_name.startswith("gym:"):
+                env_kwargs.setdefault("num_envs", num_envs)
+            self.env = make_env(env_name, **env_kwargs)
+        else:  # pre-built Environment instance (physics-variant probes)
+            self.env = env_name
         if pixel_obs:
             from surreal_tpu.envs.wrappers import PixelWrapper, pixel_flatten_obs
 
