@@ -47,6 +47,13 @@ INFRA_MARKERS = (
 )
 
 
+def classify(rc: int, text: str) -> str:
+    """'ok' | 'infra' (retry) | 'failed' (algorithmic; don't retry)."""
+    if rc == 0:
+        return "ok"
+    return "infra" if any(m in text for m in INFRA_MARKERS) else "failed"
+
+
 class Queue:
     def __init__(self, spec_path):
         with open(spec_path) as f:
@@ -93,10 +100,8 @@ class Queue:
                 timeout=tmo, capture_output=True, text=True,
             )
             text = out.stdout + out.stderr
-            outcome = "ok" if out.returncode == 0 else (
-                "infra" if any(m in text for m in INFRA_MARKERS) else "failed"
-            )
-            return {"tag": tag, "outcome": outcome, "rc": out.returncode,
+            return {"tag": tag, "outcome": classify(out.returncode, text),
+                    "rc": out.returncode,
                     "wall_s": round(time.time() - t0), "tail": text[-500:]}
         except subprocess.TimeoutExpired as e:
             text = ((e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes)
