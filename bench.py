@@ -19,7 +19,7 @@ CPU_REFERENCE_STEPS_PER_S = 4800.0  # measured, see BASELINE.md
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 256))
 HORIZON = int(os.environ.get("BENCH_HORIZON", 128))
 WARMUP_ITERS = int(os.environ.get("BENCH_WARMUP_ITERS", 2))
-TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 10))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 30))
 
 
 def main():
