@@ -202,14 +202,57 @@ def mass_matrix(m: PlanarModel, q, fkd=None) -> jax.Array:
     return M + jnp.diag(jnp.asarray(m.armature, dtype))
 
 
-def bias_forces(m: PlanarModel, q, qd) -> jax.Array:
-    """Coriolis + centrifugal + gravity `c(q, qd)` such that
-    M qacc + c = τ. Matches MuJoCo's qfrc_bias (sign: bias opposes motion)."""
+def bias_forces_autodiff(m: PlanarModel, q, qd) -> jax.Array:
+    """Euler-Lagrange bias via autodiff (reference implementation; kept as
+    the cross-check oracle for the analytic Newton-Euler assembly below —
+    tests/test_physics_parity.py verifies both against MuJoCo)."""
     g1 = lambda qq: jax.grad(lambda qdd: kinetic_energy(m, qq, qdd))(qd)
     _, dg1_dt = jax.jvp(g1, (q,), (qd,))
     dT_dq = jax.grad(lambda qq: kinetic_energy(m, qq, qd))(q)
     dV_dq = jax.grad(lambda qq: potential_energy(m, qq))(q)
     return dg1_dt - dT_dq + dV_dq
+
+
+def fk_dofs_dot(m: PlanarModel, q, qd):
+    """(fkd, fkd_dot): forward kinematics AND its time derivative along qd
+    in one jvp — the single FK evaluation every consumer in a physics step
+    shares (mass matrix, bias, fluid drag, constraint rows)."""
+    return jax.jvp(lambda qq: fk_dofs(m, qq), (q,), (qd,))
+
+
+def bias_forces(m: PlanarModel, q, qd, fkd=None, fkd_dot=None) -> jax.Array:
+    """Coriolis + centrifugal + gravity `c(q, qd)` such that
+    M qacc + c = τ. Matches MuJoCo's qfrc_bias (sign: bias opposes motion).
+
+    Analytic Newton-Euler assembly (planar): with q̈ = 0 each body's COM
+    acceleration is γ_b = (dJ_b/dt) q̇ and its angular acceleration is 0
+    (planar hinge rates superpose with constant coefficients), so
+        bias_j = Σ_b m_b J_bᵀ (γ_b + g ẑ).
+    dJ/dt columns come for free from ONE jvp of fk_dofs: hinge j's column
+    is sign_j·Ω(x_b − a_j) so its derivative is sign_j·Ω(ẋ_b − ȧ_j); a
+    slide column is the world axis, derivative = axis rate. Replaces the
+    ~8 FK-equivalent autodiff chain (profiled round 4) while staying exact;
+    verified equal to `bias_forces_autodiff` and MuJoCo's qfrc_bias."""
+    dtype = q.dtype
+    if fkd is None or fkd_dot is None:
+        fkd, fkd_dot = fk_dofs_dot(m, q, qd)
+    _, Jv, _, _ = point_jacobians(m, q, m.com, np.arange(m.nb), fkd=fkd)
+    _, _, danchor_dot, daxis_dot = fkd_dot
+    xdot = jnp.einsum("bcv,v->bc", Jv, qd)  # COM velocities (nb, 2)
+    sign = jnp.asarray([m.dof_axis[j][0] if m.dof_type[j] == HINGE else 0.0
+                        for j in range(m.nv)], dtype)
+    is_hinge = np.asarray([t == HINGE for t in m.dof_type])
+    mask = jnp.asarray(_ancestor_dof_mask(m), dtype)  # (nb, nv)
+    diff_dot = xdot[:, None, :] - danchor_dot[None, :, :]  # (nb, nv, 2)
+    G_hinge = sign[None, :, None] * _perp(diff_dot)
+    G_slide = jnp.broadcast_to(daxis_dot[None], G_hinge.shape)
+    G = jnp.where(jnp.asarray(is_hinge)[None, :, None], G_hinge, G_slide)
+    G = G * mask[:, :, None]  # (nb, nv, 2) = dJ/dt columns
+    gamma = jnp.einsum("bvc,v->bc", G, qd)  # (nb, 2)
+    g_vec = jnp.stack([jnp.zeros((m.nb,), dtype),
+                       jnp.full((m.nb,), m.gravity, dtype)], -1)
+    f = jnp.asarray(m.mass, dtype)[:, None] * (gamma + g_vec)
+    return jnp.einsum("bcv,bc->v", Jv, f)
 
 
 # ---------------------------------------------------------------------------
@@ -392,7 +435,7 @@ def _rope_kinematics(m: PlanarModel, q, fkd=None):
 
 
 def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
-                       solver: str = "jacobi"):
+                       solver: str = "jacobi", fkd=None):
     """Project candidate velocity `v` onto the feasible set of contact and
     joint-limit constraints via impulses. Returns the corrected velocity.
 
@@ -407,16 +450,17 @@ def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
         solver == "jacobi"
         or m.npair or m.nrope or m.has_dof_friction or m.neq or m.nwall
     ):
-        return _project_jacobi(m, q, v, M_inv, h, n_iter=max(n_iter, 20))
+        return _project_jacobi(m, q, v, M_inv, h, n_iter=max(n_iter, 20), fkd=fkd)
     return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
 
 
 def constraint_project_impulses(m: PlanarModel, q, v, M_inv, h: float,
-                                n_iter: int = 20):
+                                n_iter: int = 20, fkd=None):
     """Like `constraint_project` (jacobi path) but also returns the normal
     contact impulses: dict(ground (ncon,), pair (npair,)) — the data behind
     MuJoCo-style touch sensors."""
-    return _project_jacobi(m, q, v, M_inv, h, n_iter=n_iter, return_impulses=True)
+    return _project_jacobi(m, q, v, M_inv, h, n_iter=n_iter,
+                           return_impulses=True, fkd=fkd)
 
 
 def has_constraints(m: PlanarModel) -> bool:
@@ -437,7 +481,8 @@ _PUSH_CAP = 2.0
 
 
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
-                    relax: float = 0.7, return_impulses: bool = False):
+                    relax: float = 0.7, return_impulses: bool = False,
+                    fkd=None):
     """Row layout: [normals (ground+pair+wall) | tangents (same, boxed by
     μ·λn) | dof-friction (boxed by frictionloss·h) | nonneg (ropes, limits)
     | free (equality couplings)].
@@ -453,7 +498,8 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
                        "wall": jnp.zeros(0, dtype)}
         return v
 
-    fkd = fk_dofs(m, q) if (nc or npair or nrope) else None
+    if fkd is None and (nc or npair or nrope):
+        fkd = fk_dofs(m, q)
     n_rows, n_targets, mus = [], [], []
     t_rows = []
     if nc:
@@ -672,7 +718,7 @@ def passive_spring_forces(m: PlanarModel, q) -> jax.Array:
     return -jnp.asarray(m.stiffness, q.dtype) * (q - jnp.asarray(m.springref, q.dtype))
 
 
-def fluid_forces(m: PlanarModel, q, qd) -> jax.Array:
+def fluid_forces(m: PlanarModel, q, qd, fkd=None) -> jax.Array:
     """Generalized quadratic fluid drag — the MuJoCo inertia-box fluid
     model's density term (mj_passive; the swimmer domain's swimming
     forces). Coefficients are baked per body (model.py `fluid_lin/ang`);
@@ -685,9 +731,13 @@ def fluid_forces(m: PlanarModel, q, qd) -> jax.Array:
     own (self-consistent with fk/_rot), so the formula holds for both
     planes."""
     dtype = q.dtype
-    (_, ang), (v_com, w) = jax.jvp(
-        lambda qq: _coms_and_angles(m, qq), (q,), (qd,)
-    )
+    fkd = fk_dofs(m, q) if fkd is None else fkd
+    _, Jv, _, ang = point_jacobians(m, q, m.com, np.arange(m.nb), fkd=fkd)
+    sign = jnp.asarray([m.dof_axis[j][0] if m.dof_type[j] == HINGE else 0.0
+                        for j in range(m.nv)], dtype)
+    Jw = jnp.asarray(_ancestor_dof_mask(m), dtype) * sign[None, :]  # (nb, nv)
+    v_com = jnp.einsum("bcv,v->bc", Jv, qd)
+    w = Jw @ qd
     v_body = _rot(-ang, v_com)
     f_body = -jnp.asarray(m.fluid_lin, dtype) * jnp.abs(v_body) * v_body
     torque = -jnp.asarray(m.fluid_ang, dtype) * jnp.abs(w) * w  # (nb,)
@@ -695,10 +745,6 @@ def fluid_forces(m: PlanarModel, q, qd) -> jax.Array:
         f_body = f_body - jnp.asarray(m.fluid_visc_lin, dtype)[:, None] * v_body
         torque = torque - jnp.asarray(m.fluid_visc_ang, dtype) * w
     f_world = _rot(ang, f_body)  # (nb, 2)
-    _, Jv, _, _ = point_jacobians(m, q, m.com, np.arange(m.nb))
-    sign = jnp.asarray([m.dof_axis[j][0] if m.dof_type[j] == HINGE else 0.0
-                        for j in range(m.nv)], dtype)
-    Jw = jnp.asarray(_ancestor_dof_mask(m), dtype) * sign[None, :]  # (nb, nv)
     return jnp.einsum("bcv,bc->v", Jv, f_world) + Jw.T @ torque
 
 
@@ -717,22 +763,28 @@ def actuation(m: PlanarModel, ctrl) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def smooth_forces(m: PlanarModel, q, qd, ctrl):
+def smooth_forces(m: PlanarModel, q, qd, ctrl, fkd=None, fkd_dot=None):
     """Actuation + joint springs + fluid drag − bias. Joint damping and
     unilateral constraints are handled by the integrators. Fluid drag is
     explicit-in-velocity, matching MuJoCo (only joint damping is implicit
-    in its Euler integrator)."""
-    f = actuation(m, ctrl) + passive_spring_forces(m, q) - bias_forces(m, q, qd)
+    in its Euler integrator). Pass (fkd, fkd_dot) from `fk_dofs_dot` to
+    share one FK evaluation across bias/fluid (the integrators do)."""
+    if fkd is None or fkd_dot is None:
+        fkd, fkd_dot = fk_dofs_dot(m, q, qd)
+    f = (actuation(m, ctrl) + passive_spring_forces(m, q)
+         - bias_forces(m, q, qd, fkd=fkd, fkd_dot=fkd_dot))
     if m.has_fluid:
-        f = f + fluid_forces(m, q, qd)
+        f = f + fluid_forces(m, q, qd, fkd=fkd)
     return f
 
 
 def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
     """qacc from smooth dynamics with explicit joint damping (RK4 stages,
     matching MuJoCo RK4 which evaluates smooth forces per stage)."""
-    M = mass_matrix(m, q)
-    f = smooth_forces(m, q, qd, ctrl) - jnp.asarray(m.damping, q.dtype) * qd
+    fkd, fkd_dot = fk_dofs_dot(m, q, qd)
+    M = mass_matrix(m, q, fkd=fkd)
+    f = (smooth_forces(m, q, qd, ctrl, fkd=fkd, fkd_dot=fkd_dot)
+         - jnp.asarray(m.damping, q.dtype) * qd)
     return jnp.linalg.solve(M, f)
 
 
@@ -745,15 +797,19 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
     dtype = q.dtype
     ctrl = jnp.asarray(ctrl, dtype)
     D = jnp.asarray(m.damping, dtype)
-    M = mass_matrix(m, q)
+    # ONE forward-kinematics evaluation (+ its time derivative) shared by
+    # the mass matrix, bias, fluid drag and all constraint rows — the
+    # round-4 profiling fix for the redundant per-substep FK recomputation.
+    fkd, fkd_dot = fk_dofs_dot(m, q, qd)
+    M = mass_matrix(m, q, fkd=fkd)
     M_inv = jnp.linalg.inv(M)
-    f = smooth_forces(m, q, qd, ctrl) - D * qd
+    f = smooth_forces(m, q, qd, ctrl, fkd=fkd, fkd_dot=fkd_dot) - D * qd
     qacc = jnp.linalg.solve(M + h * jnp.diag(D), f)
     v_star = qd + h * qacc
     if return_impulses:
-        qd_new, imp = constraint_project_impulses(m, q, v_star, M_inv, h)
+        qd_new, imp = constraint_project_impulses(m, q, v_star, M_inv, h, fkd=fkd)
         return q + h * qd_new, qd_new, imp
-    qd_new = constraint_project(m, q, v_star, M_inv, h)
+    qd_new = constraint_project(m, q, v_star, M_inv, h, fkd=fkd)
     q_new = q + h * qd_new
     return q_new, qd_new
 
@@ -776,8 +832,9 @@ def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     q_new = q + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
     qd_new = qd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
     if has_constraints(m):
-        M_inv = jnp.linalg.inv(mass_matrix(m, q_new))
-        qd_new = constraint_project(m, q_new, qd_new, M_inv, h)
+        fkd = fk_dofs(m, q_new)
+        M_inv = jnp.linalg.inv(mass_matrix(m, q_new, fkd=fkd))
+        qd_new = constraint_project(m, q_new, qd_new, M_inv, h, fkd=fkd)
     return q_new, qd_new
 
 

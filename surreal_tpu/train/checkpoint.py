@@ -27,13 +27,28 @@ class Checkpointer:
     def __init__(self, root: str, keep_latest: int = 3):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+        # Distinct barrier_sync_key_prefix per manager: in a multi-process
+        # run both managers save the SAME step number back-to-back (latest,
+        # then best) asynchronously; with the default (empty) prefix their
+        # coordination-service barrier keys collide and the ranks can pair
+        # rank0's latest-save barrier with rank1's best-save barrier —
+        # an intermittent cross-rank deadlock at the end of training
+        # (tests/test_multihost.py hang, round-3 regression).
         self._latest_mgr = ocp.CheckpointManager(
             os.path.join(self.root, "latest"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep_latest, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_latest, create=True,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="latest"),
+            ),
         )
         self._best_mgr = ocp.CheckpointManager(
             os.path.join(self.root, "best"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="best"),
+            ),
         )
         self._meta_path = os.path.join(self.root, "meta.json")
         self._meta = {"best_score": None, "best_step": None}
@@ -51,8 +66,11 @@ class Checkpointer:
         ):
             self._best_mgr.save(step, args=ocp.args.StandardSave(state))
             self._meta = {"best_score": float(score), "best_step": int(step)}
-            with open(self._meta_path, "w") as f:
-                json.dump(self._meta, f)
+            if jax.process_index() == 0:  # single-writer, atomic (multihost)
+                tmp = self._meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self._meta, f)
+                os.replace(tmp, self._meta_path)
 
     def wait(self) -> None:
         self._latest_mgr.wait_until_finished()

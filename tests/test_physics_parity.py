@@ -113,3 +113,16 @@ def test_contact_domains_stable_and_resting(oracle):
     # feet not sunk through the floor: deepest contact point above -1cm
     J, depth = engine._contact_kinematics(pm, q)
     assert float(jnp.max(depth)) < 0.02
+
+
+def test_bias_analytic_equals_autodiff(oracle, rng):
+    """The analytic Newton-Euler bias assembly (shared-FK fast path used by
+    the integrators) is exactly the Euler-Lagrange autodiff bias."""
+    _, env, pm = oracle
+    nv = pm.nv
+    for _ in range(5):
+        q = jnp.array(rng.uniform(-2, 2, nv))
+        qd = jnp.array(rng.uniform(-3, 3, nv))
+        a = engine.bias_forces(pm, q, qd)
+        b = engine.bias_forces_autodiff(pm, q, qd)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
