@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from surreal_tpu.envs.physics.linalg import inv_spd, solve_spd
 from surreal_tpu.envs.physics.model import HINGE, SLIDE, PlanarModel
 
 
@@ -785,7 +786,7 @@ def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
     M = mass_matrix(m, q, fkd=fkd)
     f = (smooth_forces(m, q, qd, ctrl, fkd=fkd, fkd_dot=fkd_dot)
          - jnp.asarray(m.damping, q.dtype) * qd)
-    return jnp.linalg.solve(M, f)
+    return solve_spd(M, f)
 
 
 def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
@@ -802,9 +803,13 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
     # round-4 profiling fix for the redundant per-substep FK recomputation.
     fkd, fkd_dot = fk_dofs_dot(m, q, qd)
     M = mass_matrix(m, q, fkd=fkd)
-    M_inv = jnp.linalg.inv(M)
+    # SPD small-matrix paths (linalg.py): jnp.linalg.inv/solve lower to
+    # LU custom calls that dominated the whole train step (85% of device
+    # time, results/profile_cheetah_256_r4.txt); the unrolled Cholesky
+    # fuses into the substep.
+    M_inv = inv_spd(M)
     f = smooth_forces(m, q, qd, ctrl, fkd=fkd, fkd_dot=fkd_dot) - D * qd
-    qacc = jnp.linalg.solve(M + h * jnp.diag(D), f)
+    qacc = solve_spd(M + h * jnp.diag(D), f)
     v_star = qd + h * qacc
     if return_impulses:
         qd_new, imp = constraint_project_impulses(m, q, v_star, M_inv, h, fkd=fkd)
@@ -833,7 +838,7 @@ def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     qd_new = qd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
     if has_constraints(m):
         fkd = fk_dofs(m, q_new)
-        M_inv = jnp.linalg.inv(mass_matrix(m, q_new, fkd=fkd))
+        M_inv = inv_spd(mass_matrix(m, q_new, fkd=fkd))
         qd_new = constraint_project(m, q_new, qd_new, M_inv, h, fkd=fkd)
     return q_new, qd_new
 
