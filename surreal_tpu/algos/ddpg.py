@@ -56,6 +56,13 @@ class DDPGConfig:
     ou_dt: float = 1.0  # noise step in units of control steps
     sigma_min: float = 0.05
     sigma_max: float = 0.4
+    # TD3-style stabilizers (Fujimoto et al. 2018), default OFF so plain
+    # DDPG semantics (and all recorded curves) stand. target_noise > 0
+    # smooths the bootstrap target action with clipped Gaussian noise;
+    # actor_delay > 1 updates the actor (and targets) every N critic steps.
+    target_noise: float = 0.0
+    target_noise_clip: float = 0.5
+    actor_delay: int = 1
     # Actor-side parameter staleness (the reference's pub-sub lag for DDPG
     # actors — same semantics as PPOConfig.publish_every): rollouts act on a
     # snapshot refreshed every K learner updates. 1 = zero staleness.
@@ -242,13 +249,20 @@ def update(
 
     def one_update(carry, key_u):
         state = carry
-        w = replay_sample_nstep(replay, key_u, cfg.batch_size, cfg.n_step)
+        k_sample, k_tnoise = jax.random.split(key_u)
+        w = replay_sample_nstep(replay, k_sample, cfg.batch_size, cfg.n_step)
         obs = norm(w["obs"][0])
         action = w["action"][0]
         next_obs = norm(w["obs"][-1])
         G, cont = nstep_returns(w["reward"][:-1], w["done"][:-1], cfg.gamma)
 
         next_a = actor_apply(state.target_actor_params, next_obs)
+        if cfg.target_noise > 0:  # TD3 target-policy smoothing
+            eps = jnp.clip(
+                cfg.target_noise * jax.random.normal(k_tnoise, next_a.shape),
+                -cfg.target_noise_clip, cfg.target_noise_clip,
+            )
+            next_a = jnp.clip(next_a + eps, -1.0, 1.0)
         q_next = critic_apply(state.target_critic_params, next_obs, next_a)
         y = jax.lax.stop_gradient(G + cont * q_next)
 
@@ -272,11 +286,19 @@ def update(
         actor_params = optax.apply_updates(state.actor_params, a_updates)
 
         step_no = state.update_step + 1
+        if cfg.actor_delay > 1:  # TD3 delayed actor + target updates
+            do_actor = (step_no % cfg.actor_delay) == 0
+            gate = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(do_actor, n, o), new, old)
+            actor_params = gate(actor_params, state.actor_params)
+            a_opt_state = gate(a_opt_state, state.actor_opt)
+        else:
+            do_actor = jnp.asarray(True)
         if cfg.hard_sync_every > 0:
-            do_sync = (step_no % cfg.hard_sync_every) == 0
+            do_sync = do_actor & ((step_no % cfg.hard_sync_every) == 0)
             sync = lambda t, s: jnp.where(do_sync, s, t)
         else:
-            sync = lambda t, s: t + cfg.tau * (s - t)
+            sync = lambda t, s: jnp.where(do_actor, t + cfg.tau * (s - t), t)
         target_actor = jax.tree.map(sync, state.target_actor_params, actor_params)
         target_critic = jax.tree.map(sync, state.target_critic_params, critic_params)
 

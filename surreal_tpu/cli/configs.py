@@ -85,6 +85,9 @@ DDPG_BASE_LEARNER_CONFIG = Config(
     critic_lr=1e-3,
     tau=5e-3,
     hard_sync_every=0,
+    target_noise=0.0,  # TD3 target-policy smoothing std (0 = plain DDPG)
+    target_noise_clip=0.5,
+    actor_delay=1,  # TD3 delayed actor/target updates (1 = plain DDPG)
     use_zfilter=False,
     noise_type="ou",
     sigma_min=0.05,
@@ -129,7 +132,8 @@ def to_algo_config(learner: Config):
         keys = [
             "rollout_steps", "updates_per_iteration", "batch_size",
             "replay_capacity", "min_replay", "gamma", "n_step", "actor_lr",
-            "critic_lr", "tau", "hard_sync_every", "use_zfilter", "noise_type",
+            "critic_lr", "tau", "hard_sync_every", "target_noise",
+            "target_noise_clip", "actor_delay", "use_zfilter", "noise_type",
             "sigma_min", "sigma_max", "publish_every", "zero_optimizer",
         ]
         return DDPGConfig(**{k: learner[k] for k in keys})

@@ -105,3 +105,37 @@ def test_ddpg_publish_every_staleness():
         np.asarray(jax.tree.leaves(tr.state.psync.actor_params)[0]),
         np.asarray(jax.tree.leaves(tr.state.actor_params)[0]),
     )
+
+
+def test_ddpg_td3_knobs():
+    """TD3 stabilizers (target-policy smoothing + delayed actor): with
+    actor_delay=2 the actor/target nets move only on even update steps;
+    metrics stay finite. Defaults-off path is covered by every other test."""
+    from surreal_tpu.train import DDPGTrainer
+
+    cfg = DDPGConfig(
+        rollout_steps=4, updates_per_iteration=1, batch_size=16,
+        min_replay=16, replay_capacity=1024,
+        target_noise=0.2, actor_delay=2,
+    )
+    tr = DDPGTrainer("cartpole-balance", cfg, num_envs=8, seed=0,
+                     actor_hidden=(16,), critic_hidden=(16,))
+    tr.run(1, log_every=1)  # update_step -> 1 (odd: actor frozen)
+    p0 = np.asarray(jax.tree.leaves(tr.state.actor_params)[0]).copy()
+    c0 = np.asarray(jax.tree.leaves(tr.state.critic_params)[0]).copy()
+    m = tr.run(1, log_every=1)[-1]  # update_step -> 2 (even: actor moves)
+    assert int(tr.state.update_step) == 2
+    assert all(np.isfinite(v) for v in m.values() if isinstance(v, float))
+    assert not np.allclose(np.asarray(jax.tree.leaves(tr.state.actor_params)[0]), p0)
+    assert not np.allclose(np.asarray(jax.tree.leaves(tr.state.critic_params)[0]), c0)
+    # odd step froze the actor: re-run from scratch, check after step 1
+    tr2 = DDPGTrainer("cartpole-balance", cfg, num_envs=8, seed=0,
+                      actor_hidden=(16,), critic_hidden=(16,))
+    init_a = np.asarray(jax.tree.leaves(tr2.state.actor_params)[0]).copy()
+    init_ta = np.asarray(jax.tree.leaves(tr2.state.target_actor_params)[0]).copy()
+    tr2.run(1, log_every=1)  # one update (step 1, odd)
+    assert int(tr2.state.update_step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(tr2.state.actor_params)[0]), init_a)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(tr2.state.target_actor_params)[0]), init_ta)

@@ -100,13 +100,14 @@ class Queue:
                 timeout=tmo, capture_output=True, text=True,
             )
             text = out.stdout + out.stderr
-            return {"tag": tag, "outcome": classify(out.returncode, text),
+            return {"tag": tag, "name": tag,
+                    "outcome": classify(out.returncode, text),
                     "rc": out.returncode,
                     "wall_s": round(time.time() - t0), "tail": text[-500:]}
         except subprocess.TimeoutExpired as e:
             text = ((e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes)
                     else (e.stdout or ""))
-            return {"tag": tag, "outcome": "timeout", "rc": None,
+            return {"tag": tag, "name": tag, "outcome": "timeout", "rc": None,
                     "wall_s": round(time.time() - t0), "tail": text[-500:]}
 
     def main(self):
