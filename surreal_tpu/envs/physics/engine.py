@@ -807,9 +807,16 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
     # LU custom calls that dominated the whole train step (85% of device
     # time, results/profile_cheetah_256_r4.txt); the unrolled Cholesky
     # fuses into the substep.
-    M_inv = inv_spd(M)
     f = smooth_forces(m, q, qd, ctrl, fkd=fkd, fkd_dot=fkd_dot) - D * qd
-    qacc = solve_spd(M + h * jnp.diag(D), f)
+    if m.implicit_impulse:
+        # MuJoCo Euler semantics: (M + hD) v⁺ = M v + h f + h Jᵀλ — the
+        # impulse metric is the implicitly-damped effective mass (one
+        # inverse serves both the smooth solve and the Delassus operator).
+        M_inv = inv_spd(M + h * jnp.diag(D))
+        qacc = M_inv @ f
+    else:
+        M_inv = inv_spd(M)
+        qacc = solve_spd(M + h * jnp.diag(D), f)
     v_star = qd + h * qacc
     if return_impulses:
         qd_new, imp = constraint_project_impulses(m, q, v_star, M_inv, h, fkd=fkd)

@@ -84,6 +84,16 @@ class PlanarModel:
     # Elliptic friction-cone projection for pair rows (MuJoCo convex-solver
     # coupling: tangential slip raises normal force). Boxed clamp when False.
     pair_cone: bool = True
+    # Apply constraint impulses through the implicitly-damped effective
+    # mass (M + h·diag(damping))⁻¹ instead of M⁻¹ — exactly MuJoCo's Euler
+    # semantics, where constraint forces enter the same implicit solve as
+    # joint damping. Matters when h·damping ~ M (the finger: damping 2.5
+    # on near-massless fingertip dofs): a MuJoCo-scale contact impulse then
+    # spins the paddle WITHOUT ejecting the finger, because the finger's
+    # own response is damped (measured r4: oracle flick reaches hinge
+    # ω=8.5, the M⁻¹ + soft-push model only 1.7). Default off until the
+    # locomotion domains are re-validated under it.
+    implicit_impulse: bool = False
 
     # --- body frame rotations (nb,) — planar angle offsets from body_quat
     # (manipulation models rotate finger frames); None ⇒ all zero ---
