@@ -81,3 +81,27 @@ def test_random_action_rollout_finite(name):
     assert bool(np.isfinite(np.asarray(state.q)).all())
     assert bool(np.isfinite(np.asarray(state.qd)).all())
     assert bool(np.isfinite(np.asarray(ts.reward)).all())
+
+
+@pytest.mark.parametrize("name", ["hopper-stand", "finger-spin"])
+def test_implicit_impulse_rollout_finite(name):
+    """The implicit-impulse metric ((M + h·diag(D))⁻¹, MuJoCo Euler
+    semantics) with the stiff dynamic pair push stays bounded under the
+    same random-action protocol — the r4 contact-model candidate."""
+    n_substeps, ret_imp = {"hopper-stand": (4, False),
+                           "finger-spin": (2, True)}[name]
+    env = make_env(name)
+    env.model = env.model.replace(implicit_impulse=True,
+                                  pair_push="stiff_dynamic")
+    env._step_fn = engine.make_stepper(env.model, n_substeps=n_substeps,
+                                       return_impulses=ret_imp)
+    reset_fn, step_fn = vectorize(env)
+    state, _ = jax.jit(reset_fn)(jax.random.split(jax.random.PRNGKey(0), 16))
+    jstep = jax.jit(step_fn)
+    key = jax.random.PRNGKey(1)
+    for _ in range(200):
+        key, k = jax.random.split(key)
+        state, ts = jstep(state, jax.random.normal(k, (16, env.action_dim)))
+    assert bool(np.isfinite(np.asarray(state.q)).all())
+    assert bool(np.isfinite(np.asarray(state.qd)).all())
+    assert float(jnp.abs(np.asarray(state.qd)).max()) < 200.0

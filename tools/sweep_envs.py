@@ -3,7 +3,7 @@
 Measures steady-state env-steps/s for PPO at num_envs in {128..2048} on
 state cheetah, pixel cheetah, and state hopper (contact-rich; showed a
 surprising 128->256 env cliff in the r3 queue). Writes a BASELINE.md-ready
-table to results/scaling_envs_r3.txt.
+table to results/scaling_envs_r4.txt.
 
 Usage: python tools/sweep_envs.py   (owns the TPU; run alone)
 """
@@ -24,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from surreal_tpu.algos.ppo import PPOConfig
 from surreal_tpu.train import PPOTrainer
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "results", "scaling_envs_r3.txt")
+OUT = os.path.join(os.path.dirname(__file__), "..", "results", "scaling_envs_r4.txt")
 SWEEP = [128, 256, 512, 1024, 2048]
 CASES = [
     ("cheetah-state", "cheetah-run", False),
