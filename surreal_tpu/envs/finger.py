@@ -55,6 +55,15 @@ class Finger(base.Environment):
                  dtype=jnp.float32):
         assert task in ("spin", "turn")
         m = pmodel.load(_ASSET)
+        # Contact model selected by on-chip training probes (round 4; data in
+        # results/diag_finger_impulse_r4.txt + results/finger_probe_r4.txt):
+        # impulses through the implicitly-damped metric (MuJoCo Euler
+        # semantics — the damped finger absorbs recoil instead of being
+        # ejected) + a stiff pair push-out (timeconst h/2) that restores the
+        # oracle's momentum-transfer scale. finger-spin: 353 (r3 soft model)
+        # -> 555-630 across seeds @ 100M; turn tasks par within their
+        # all-or-nothing seed variance.
+        m = m.replace(implicit_impulse=True, contact_timeconst=0.0025)
         if task == "spin":
             # oracle: Spin.initialize_episode sets hinge damping to .03
             damping = m.damping.copy()
