@@ -112,9 +112,22 @@ class Environment:
         Timestep carries the pre-reset terminal obs/reward)."""
         q, qd = self._physics_step(state.q, state.qd, action)
         t = state.t + 1
+        # Physics-divergence guard (dm_control raises PhysicsError and ends
+        # the episode when state values explode, mjMAXVAL-style; the
+        # lockstep equivalent auto-resets just the diverged env). Without
+        # this, one env whipping a long undamped chain (swimmer15 under
+        # high-entropy exploration, measured r4) NaNs its state, the NaN
+        # reaches the shared policy update through obs/reward, and the
+        # whole batch dies. Diverged steps score reward 0 and expose the
+        # fresh episode's obs (never the garbage state).
+        finite = lambda x: jnp.all(jnp.isfinite(x)) & (jnp.max(jnp.abs(x)) < 1e8)
+        diverged = ~(finite(q) & finite(qd))
+        safe = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
+        q, qd = safe(q), safe(qd)
         reward = self._reward(q, qd, action)
         obs = self._obs(q, qd)
-        done = t >= self.episode_steps
+        done = (t >= self.episode_steps) | diverged
+        reward = jnp.where(diverged, jnp.zeros_like(reward), reward)
         # Auto-reset: compute fresh state lazily; select by `done`.
         reset_key, carry_key = jax.random.split(state.key)
         q0, qd0 = self._init(reset_key)
@@ -129,6 +142,9 @@ class Environment:
         # auto-reset fired, else the current obs.
         obs0 = self._obs(q0, qd0)
         carry_obs = jax.tree.map(lambda a, b: jnp.where(done, a, b), obs0, obs)
+        # a diverged terminal obs is garbage even after NaN-scrubbing:
+        # report the fresh obs in its place so value bootstraps stay finite
+        obs = jax.tree.map(lambda a, b: jnp.where(diverged, a, b), obs0, obs)
         ts = Timestep(
             obs=obs,
             carry_obs=carry_obs,

@@ -101,3 +101,29 @@ def test_env_reward_formula_matches_oracle(name, rng):
         want = denv.task.get_reward(denv.physics)
         got = float(env._reward(jnp.array(q), jnp.array(qd), jnp.zeros(nu)))
         assert abs(got - want) < 1e-4, f"{name}: {got} vs {want}"
+
+
+def test_divergence_auto_reset():
+    """A non-finite / exploded physics state ends the episode for that env
+    only (dm_control PhysicsError semantics) with reward 0 and fully
+    finite outputs — one diverged env must not NaN the batch."""
+    import dataclasses
+
+    env = make_env("swimmer-swimmer15")
+    reset_fn, step_fn = vectorize(env)
+    state, _ = jax.jit(reset_fn)(jax.random.split(jax.random.PRNGKey(0), 4))
+    q = np.array(state.q)
+    qd = np.array(state.qd)
+    qd[1, 3] = np.nan          # env 1: NaN velocity
+    q[2, 0] = 3e9              # env 2: exploded position
+    state = dataclasses.replace(state, q=jnp.asarray(q), qd=jnp.asarray(qd))
+    new_state, ts = jax.jit(step_fn)(state, jnp.zeros((4, env.action_dim)))
+    done = np.asarray(ts.done)
+    assert done[1] and done[2] and not done[0] and not done[3]
+    assert np.asarray(ts.reward)[1] == 0.0 and np.asarray(ts.reward)[2] == 0.0
+    for leaf in jax.tree.leaves((new_state.q, new_state.qd, ts.obs,
+                                 ts.carry_obs, ts.reward)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # diverged envs were reset: fresh episode state within init bounds
+    assert np.abs(np.asarray(new_state.q)[1]).max() < 100
+    assert int(np.asarray(new_state.t)[1]) == 0
