@@ -42,6 +42,26 @@ from surreal_tpu.envs.physics.linalg import inv_spd, solve_spd
 from surreal_tpu.envs.physics.model import HINGE, SLIDE, PlanarModel
 
 
+def _highest_precision(fn):
+    """Force full-f32 dot/einsum precision inside physics assembly.
+
+    On TPU the DEFAULT matmul precision truncates dot operands to bf16 —
+    measured round 4: the bf16 mass matrix of a healthy swimmer state
+    (cond 1.4e4) had relative error 1e-3 and min eigenvalue -2.4e-6, i.e.
+    it was INDEFINITE, which detonates the SPD Cholesky solves (L ~ 1e18,
+    inf inverse) and, through the divergence guard, silently halved
+    swimmer returns. Every physics entry point therefore assembles at
+    'highest' precision; the tiny physics dots are VPU-bound, so the cost
+    is nil (bench re-measured, see BASELINE.md)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _rot(theta, v):
     """Rotate planar (x, z) vector(s) by angle about +y (matches MuJoCo's
     xmat convention: x' = c·x + s·z, z' = −s·x + c·z)."""
@@ -119,6 +139,7 @@ def _perp(v):
     return jnp.stack([v[..., 1], -v[..., 0]], -1)
 
 
+@_highest_precision
 def point_jacobians(m: PlanarModel, q, points_body: np.ndarray | jax.Array,
                     point_bodies: np.ndarray, fkd=None):
     """Analytic world-position Jacobians for material points.
@@ -153,12 +174,14 @@ def _coms_and_angles(m, q):
     return pos + _rot(ang, jnp.asarray(m.com, q.dtype)), ang
 
 
+@_highest_precision
 def body_velocities(m: PlanarModel, q, qd):
     """(v_com (nb,2), omega (nb,)) via one jvp through FK."""
     _, tangents = jax.jvp(lambda qq: _coms_and_angles(m, qq), (q,), (qd,))
     return tangents
 
 
+@_highest_precision
 def kinetic_energy(m: PlanarModel, q, qd):
     v, w = body_velocities(m, q, qd)
     mass = jnp.asarray(m.mass, q.dtype)
@@ -176,6 +199,7 @@ def potential_energy(m: PlanarModel, q):
     return m.gravity * jnp.sum(jnp.asarray(m.mass, q.dtype) * coms[:, 1])
 
 
+@_highest_precision
 def mass_matrix_autodiff(m: PlanarModel, q) -> jax.Array:
     """Joint-space inertia via the Hessian of kinetic energy (reference
     implementation; kept as a cross-check for the analytic assembly)."""
@@ -183,6 +207,7 @@ def mass_matrix_autodiff(m: PlanarModel, q) -> jax.Array:
     return jax.jacfwd(jax.grad(lambda qdd: kinetic_energy(m, q, qdd)))(zero)
 
 
+@_highest_precision
 def mass_matrix(m: PlanarModel, q, fkd=None) -> jax.Array:
     """Exact joint-space inertia M(q) = Σ_b m_b J_vᵀJ_v + I_b J_ωᵀJ_ω
     (+ armature), assembled from analytic point Jacobians of the body COMs
@@ -203,6 +228,7 @@ def mass_matrix(m: PlanarModel, q, fkd=None) -> jax.Array:
     return M + jnp.diag(jnp.asarray(m.armature, dtype))
 
 
+@_highest_precision
 def bias_forces_autodiff(m: PlanarModel, q, qd) -> jax.Array:
     """Euler-Lagrange bias via autodiff (reference implementation; kept as
     the cross-check oracle for the analytic Newton-Euler assembly below —
@@ -221,6 +247,7 @@ def fk_dofs_dot(m: PlanarModel, q, qd):
     return jax.jvp(lambda qq: fk_dofs(m, qq), (q,), (qd,))
 
 
+@_highest_precision
 def bias_forces(m: PlanarModel, q, qd, fkd=None, fkd_dot=None) -> jax.Array:
     """Coriolis + centrifugal + gravity `c(q, qd)` such that
     M qacc + c = τ. Matches MuJoCo's qfrc_bias (sign: bias opposes motion).
@@ -277,6 +304,7 @@ def _contact_points_world(m: PlanarModel, q, u_local):
     return pos[cb] + _rot(ang[cb], u_local)
 
 
+@_highest_precision
 def _contact_kinematics(m: PlanarModel, q, fkd=None):
     """(J (ncon,2,nv), depth (ncon,)) at configuration q. J maps qd to the
     world (x, z) velocity of each contact material point (the lowest point
@@ -321,6 +349,7 @@ def _seg_seg_closest(p1, q1, p2, q2, eps=1e-12):
     return p1 + s[..., None] * d1, p2 + t[..., None] * d2
 
 
+@_highest_precision
 def _pair_kinematics(m: PlanarModel, q, fkd=None):
     """Body-body capsule/sphere contact rows.
 
@@ -360,6 +389,7 @@ def _pair_kinematics(m: PlanarModel, q, fkd=None):
     return Jn, Jt, depth, mu
 
 
+@_highest_precision
 def _wall_kinematics(m: PlanarModel, q, fkd=None):
     """Sphere-candidate contacts against extra static planes (arena walls;
     inside half-space n·x − d ≥ 0). Candidates are the same spheres as the
@@ -386,6 +416,7 @@ def _wall_kinematics(m: PlanarModel, q, fkd=None):
     return jnp.concatenate(Jns), jnp.concatenate(Jts), jnp.concatenate(depths), mu
 
 
+@_highest_precision
 def penetration(m: PlanarModel, q) -> jax.Array:
     """Max penetration depth over all contact candidates (ground, walls,
     body-body pairs) — the JAX analog of the oracle's `ncon > 0` check in
@@ -404,6 +435,7 @@ def penetration(m: PlanarModel, q) -> jax.Array:
     return jnp.stack(depths).max()
 
 
+@_highest_precision
 def _rope_kinematics(m: PlanarModel, q, fkd=None):
     """Tendon-limit (max-length rope) rows.
 
@@ -435,6 +467,7 @@ def _rope_kinematics(m: PlanarModel, q, fkd=None):
     return J, stretch
 
 
+@_highest_precision
 def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
                        solver: str = "jacobi", fkd=None):
     """Project candidate velocity `v` onto the feasible set of contact and
@@ -455,6 +488,7 @@ def constraint_project(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10,
     return _project_gs(m, q, v, M_inv, h, n_iter=n_iter)
 
 
+@_highest_precision
 def constraint_project_impulses(m: PlanarModel, q, v, M_inv, h: float,
                                 n_iter: int = 20, fkd=None):
     """Like `constraint_project` (jacobi path) but also returns the normal
@@ -481,6 +515,7 @@ def has_constraints(m: PlanarModel) -> bool:
 _PUSH_CAP = 2.0
 
 
+@_highest_precision
 def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
                     relax: float = 0.7, return_impulses: bool = False,
                     fkd=None):
@@ -654,6 +689,7 @@ def _project_jacobi(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 20,
     return v_new
 
 
+@_highest_precision
 def _project_gs(m: PlanarModel, q, v, M_inv, h: float, n_iter: int = 10):
     dtype = q.dtype
     has_limits = bool(np.any(m.limited))
@@ -719,6 +755,7 @@ def passive_spring_forces(m: PlanarModel, q) -> jax.Array:
     return -jnp.asarray(m.stiffness, q.dtype) * (q - jnp.asarray(m.springref, q.dtype))
 
 
+@_highest_precision
 def fluid_forces(m: PlanarModel, q, qd, fkd=None) -> jax.Array:
     """Generalized quadratic fluid drag — the MuJoCo inertia-box fluid
     model's density term (mj_passive; the swimmer domain's swimming
@@ -749,6 +786,7 @@ def fluid_forces(m: PlanarModel, q, qd, fkd=None) -> jax.Array:
     return jnp.einsum("bcv,bc->v", Jv, f_world) + Jw.T @ torque
 
 
+@_highest_precision
 def actuation(m: PlanarModel, ctrl) -> jax.Array:
     """Generalized forces from motor actuators (ctrl clipped to [-1, 1]).
     Fixed-tendon transmissions use the general moment matrix."""
@@ -764,6 +802,7 @@ def actuation(m: PlanarModel, ctrl) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@_highest_precision
 def smooth_forces(m: PlanarModel, q, qd, ctrl, fkd=None, fkd_dot=None):
     """Actuation + joint springs + fluid drag − bias. Joint damping and
     unilateral constraints are handled by the integrators. Fluid drag is
@@ -779,6 +818,7 @@ def smooth_forces(m: PlanarModel, q, qd, ctrl, fkd=None, fkd_dot=None):
     return f
 
 
+@_highest_precision
 def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
     """qacc from smooth dynamics with explicit joint damping (RK4 stages,
     matching MuJoCo RK4 which evaluates smooth forces per stage)."""
@@ -789,6 +829,7 @@ def forward_explicit(m: PlanarModel, q, qd, ctrl) -> jax.Array:
     return solve_spd(M, f)
 
 
+@_highest_precision
 def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
                return_impulses: bool = False):
     """Semi-implicit Euler with implicitly-integrated joint damping —
@@ -826,6 +867,7 @@ def step_euler(m: PlanarModel, q, qd, ctrl, h: float | None = None,
     return q_new, qd_new
 
 
+@_highest_precision
 def step_rk4(m: PlanarModel, q, qd, ctrl, h: float | None = None):
     """Classic RK4 on the smooth dynamics (MuJoCo's RK4 integrator —
     cartpole domain), followed by constraint projection (no-op while joint
@@ -898,6 +940,7 @@ def make_stepper(m: PlanarModel, n_substeps: int = 1,
     return step
 
 
+@_highest_precision
 def subtree_com_velocity(m: PlanarModel, q, qd) -> jax.Array:
     """Whole-body COM velocity (vx, vz) — the `torso_subtreelinvel` sensor
     used by cheetah-run / walker reward (torso subtree = entire robot)."""

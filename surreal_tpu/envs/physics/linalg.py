@@ -22,14 +22,29 @@ import jax.numpy as jnp
 
 def chol_small(M):
     """Batched Cholesky L (lower) of SPD M, shape (..., n, n), n static.
-    Cholesky-Crout, fully unrolled: O(n^3/6) scalar-per-batch ops."""
+    Cholesky-Crout, fully unrolled: O(n^3/6) scalar-per-batch ops.
+
+    Robustness at NUMERICALLY SINGULAR M (measured r4): a swimmer whose
+    links align makes the f32 Schur complement collapse to <= 0 — the raw
+    factorization NaN'd ~0.05% of swimmer steps per training iteration
+    (enough, via divergence-resets, to halve episode returns), and a
+    pivot floor relative to M[j,j] still exploded (M's smallest diagonal
+    is the 1e-6 armature, so the floored pivot divides by ~1e-6 and L
+    reached 5e18 -> inf inverse). The fix is trace-scaled, dtype-aware
+    Tikhonov regularization — factor M + eps*max_diag*I — which bounds
+    the solve exactly like MuJoCo's own diagonal regularization, changes
+    healthy solves by O(eps*cond) << 1, and is invisible (1e-14) in the
+    f64 parity tests. A relative pivot clamp stays as the last backstop."""
     n = M.shape[-1]
+    eps = 1e-6 if M.dtype == jnp.float32 else 1e-14
+    reg = eps * jnp.max(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)),
+                        axis=-1)[..., None]
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        s = M[..., j, j]
+        s = M[..., j, j] + reg[..., 0]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(s)
+        d = jnp.sqrt(jnp.maximum(s, eps * (M[..., j, j] + reg[..., 0])))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
