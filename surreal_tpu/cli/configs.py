@@ -22,6 +22,11 @@ BASE_ENV_CONFIG = Config(
 BASE_SESSION_CONFIG = Config(
     experiment_name="exp",
     results_dir="results",
+    # Apply the per-task recipe defaults (envs/recipes.py) for the chosen
+    # (env, algo): the reference ships its working hyperparameters the same
+    # way (ppo_configs.py/ddpg_configs.py). `--session.use_recipe false`
+    # reverts to the bare base config.
+    use_recipe=True,
     seed=0,
     total_env_steps=5_000_000,
     eval_every_steps=500_000,
@@ -101,15 +106,38 @@ DDPG_BASE_LEARNER_CONFIG = Config(
 
 
 def generate_configs(algo: str, overrides: dict | None = None):
-    """-> (learner_config, env_config, session_config), validated."""
+    """-> (learner_config, env_config, session_config), validated.
+
+    Precedence: base config < per-task recipe (envs/recipes.py, keyed by
+    the requested env/algo/pixel) < explicit user overrides — so the CLI
+    reproduces the recorded results/ numbers out of the box while any
+    user-specified flag still wins.
+    """
     overrides = Config(overrides or {})
     base_learner = {
         "ppo": PPO_BASE_LEARNER_CONFIG,
         "ddpg": DDPG_BASE_LEARNER_CONFIG,
     }[algo]
+    base_env, base_session = BASE_ENV_CONFIG, BASE_SESSION_CONFIG
+
+    env_over = Config(overrides.get("env") or {})
+    sess_over = Config(overrides.get("session") or {})
+    if bool(sess_over.get("use_recipe", True)):
+        from surreal_tpu.envs.recipes import get_recipe
+
+        recipe = get_recipe(env_over.get("env_name"), algo,
+                            pixel=bool(env_over.get("pixel_obs", False)))
+        if recipe is not None:
+            env_layer = dict(recipe.overrides.get("env") or {})
+            # fill the REQUIRED placeholder so the mid-merge validates
+            env_layer.setdefault("env_name", env_over.get("env_name"))
+            base_learner = extend_config(recipe.overrides.get("learner"), base_learner)
+            base_env = extend_config(env_layer, base_env)
+            base_session = extend_config(recipe.overrides.get("session"), base_session)
+
     learner = extend_config(overrides.get("learner"), base_learner)
-    env = extend_config(overrides.get("env"), BASE_ENV_CONFIG)
-    session = extend_config(overrides.get("session"), BASE_SESSION_CONFIG)
+    env = extend_config(overrides.get("env"), base_env)
+    session = extend_config(overrides.get("session"), base_session)
     return learner, env, session
 
 
