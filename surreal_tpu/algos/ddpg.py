@@ -63,6 +63,13 @@ class DDPGConfig:
     target_noise: float = 0.0
     target_noise_clip: float = 0.5
     actor_delay: int = 1
+    # Pixel-mode shared conv stem (SAC-AE/DrQ recipe; reference DDPG model's
+    # shared-stem option, SURVEY.md §2 DDPG-model row): the encoder is
+    # trained ONLY by the critic TD loss; the actor holds a stop-gradient
+    # copy refreshed after every update (_sync_encoder). Rationale: the
+    # r4 pixel gap (PPO 911 vs DDPG 31 on ball_in_cup with the same
+    # rasterizer) isolated the failure to critic-driven encoder learning.
+    shared_encoder: bool = False
     # Actor-side parameter staleness (the reference's pub-sub lag for DDPG
     # actors — same semantics as PPOConfig.publish_every): rollouts act on a
     # snapshot refreshed every K learner updates. 1 = zero staleness.
@@ -124,6 +131,19 @@ def init_state(cfg: DDPGConfig, actor_params, critic_params, obs_dim: int) -> DD
         update_step=jnp.asarray(0, jnp.int32),
         psync=psync,
     )
+
+
+_ENCODER_KEY = "ConvStem_0"  # flax auto-name of the stem in both modules
+
+
+def sync_encoder(actor_params, critic_params):
+    """Overwrite the actor's conv-stem subtree with the critic's (the single
+    source of truth in shared_encoder mode). Pure-dict flax param trees."""
+    ap = dict(actor_params)
+    inner = dict(ap["params"])
+    inner[_ENCODER_KEY] = critic_params["params"][_ENCODER_KEY]
+    ap["params"] = inner
+    return ap
 
 
 def acting_params(cfg: DDPGConfig, state: DDPGTrainState):
@@ -294,6 +314,12 @@ def update(
             a_opt_state = gate(a_opt_state, state.actor_opt)
         else:
             do_actor = jnp.asarray(True)
+        if cfg.shared_encoder:
+            # actor stem := critic stem — after the actor_delay gate so the
+            # encoder copy is fresh even on gated (critic-only) steps; grads
+            # to the actor's copy are zero by stop_gradient, so this copy is
+            # the only way it moves.
+            actor_params = sync_encoder(actor_params, critic_params)
         if cfg.hard_sync_every > 0:
             do_sync = do_actor & ((step_no % cfg.hard_sync_every) == 0)
             sync = lambda t, s: jnp.where(do_sync, s, t)

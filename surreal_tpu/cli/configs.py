@@ -93,6 +93,7 @@ DDPG_BASE_LEARNER_CONFIG = Config(
     target_noise=0.0,  # TD3 target-policy smoothing std (0 = plain DDPG)
     target_noise_clip=0.5,
     actor_delay=1,  # TD3 delayed actor/target updates (1 = plain DDPG)
+    shared_encoder=False,  # pixel mode: one conv stem, critic-trained (SAC-AE)
     use_zfilter=False,
     noise_type="ou",
     sigma_min=0.05,
@@ -161,7 +162,8 @@ def to_algo_config(learner: Config):
             "rollout_steps", "updates_per_iteration", "batch_size",
             "replay_capacity", "min_replay", "gamma", "n_step", "actor_lr",
             "critic_lr", "tau", "hard_sync_every", "target_noise",
-            "target_noise_clip", "actor_delay", "use_zfilter", "noise_type",
+            "target_noise_clip", "actor_delay", "shared_encoder",
+            "use_zfilter", "noise_type",
             "sigma_min", "sigma_max", "publish_every", "zero_optimizer",
         ]
         return DDPGConfig(**{k: learner[k] for k in keys})

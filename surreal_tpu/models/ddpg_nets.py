@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from surreal_tpu.models.blocks import MLP, ConvStem
@@ -21,11 +22,22 @@ class DDPGActor(nn.Module):
     hidden: Sequence[int] = (300, 200)
     layer_norm: bool = True
     pixel_obs: bool = False
+    # Shared-encoder mode (DDPGConfig.shared_encoder, SAC-AE/DrQ-style): the
+    # actor's conv stem is a stop-gradient COPY of the critic's, refreshed
+    # from critic_params after every critic update (algos/ddpg._sync_encoder)
+    # — the encoder learns only through the TD loss; the actor loss cannot
+    # drag it toward degenerate features.
+    detach_stem: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = ConvStem(compute_dtype=self.compute_dtype)(obs) if self.pixel_obs else obs
+        if self.pixel_obs:
+            x = ConvStem(compute_dtype=self.compute_dtype)(obs)
+            if self.detach_stem:
+                x = jax.lax.stop_gradient(x)
+        else:
+            x = obs
         x = MLP(self.hidden, "relu", self.layer_norm, self.compute_dtype)(x)
         a = nn.Dense(
             self.action_dim,

@@ -62,10 +62,14 @@ class DDPGTrainer:
             self._flatten = env_base.flatten_obs
             obs_dim = env_base.obs_flat_dim(self.env)
             obs_zeros = jnp.zeros((1, obs_dim))
+        if cfg.shared_encoder and not pixel_obs:
+            raise ValueError("shared_encoder is a pixel-mode knob (conv stem)")
         self.cfg = cfg
         act_dim = self.env.action_dim
         self.actor = DDPGActor(act_dim, tuple(actor_hidden),
-                               pixel_obs=pixel_obs, compute_dtype=compute_dtype)
+                               pixel_obs=pixel_obs,
+                               detach_stem=cfg.shared_encoder,
+                               compute_dtype=compute_dtype)
         self.critic = DDPGCritic(tuple(critic_hidden),
                                  pixel_obs=pixel_obs, compute_dtype=compute_dtype)
 
@@ -73,6 +77,8 @@ class DDPGTrainer:
         self.key, k_a, k_c, k_reset = jax.random.split(key, 4)
         actor_params = self.actor.init(k_a, obs_zeros)
         critic_params = self.critic.init(k_c, obs_zeros, jnp.zeros((1, act_dim)))
+        if cfg.shared_encoder:  # one stem from step 0 (targets match too)
+            actor_params = ddpg.sync_encoder(actor_params, critic_params)
         self.state = ddpg.init_state(self.cfg, actor_params, critic_params, obs_dim)
         self.replay = ddpg.init_replay(
             self.cfg, num_envs, obs_dim, act_dim,

@@ -152,3 +152,58 @@ def test_pixel_ddpg_trainer_smoke():
     assert int(tr.state.update_step) > 0
     ev = tr.evaluate(episodes=2, seed=1)
     assert np.isfinite(ev["return_mean"])
+
+
+def test_pixel_ddpg_shared_encoder():
+    """shared_encoder mode (r4 verdict item 7): the conv stem is trained
+    only by the critic TD loss; the actor holds a stop-gradient copy that
+    equals the critic's after every update, and the actor loss produces
+    exactly zero gradient on the actor's stem."""
+    import jax
+
+    from surreal_tpu.algos import ddpg as ddpg_mod
+    from surreal_tpu.algos.ddpg import DDPGConfig
+    from surreal_tpu.train import DDPGTrainer
+
+    cfg = DDPGConfig(rollout_steps=4, updates_per_iteration=2, batch_size=16,
+                     replay_capacity=512, min_replay=32, n_step=2,
+                     shared_encoder=True)
+    tr = DDPGTrainer(
+        "cartpole-balance", cfg, num_envs=8, seed=0,
+        actor_hidden=(32,), critic_hidden=(32,),
+        pixel_obs=True,
+        pixel_kwargs=dict(height=32, width=32, frame_stack=2, grayscale=True,
+                          action_repeat=2),
+    )
+    enc = ddpg_mod._ENCODER_KEY
+    # stems identical at init (trainer syncs actor <- critic)
+    a0 = tr.state.actor_params["params"][enc]
+    c0 = tr.state.critic_params["params"][enc]
+    assert all(jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), a0, c0)))
+
+    logs = tr.run(12, log_every=12)
+    assert int(tr.state.update_step) > 0
+    assert np.isfinite(logs[-1]["critic_loss"])
+    # stems still identical after real updates, and the critic's stem moved
+    a1 = tr.state.actor_params["params"][enc]
+    c1 = tr.state.critic_params["params"][enc]
+    assert all(jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), a1, c1)))
+    moved = any(jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(jnp.any(a != b)), c0, c1)))
+    assert moved, "critic TD loss should train the stem"
+
+    # actor loss has exactly zero gradient on the actor's stem copy
+    obs = jnp.zeros((4,) + tuple(tr.env.obs_spec()["pixel"].shape), jnp.uint8)
+
+    def actor_loss(ap):
+        return -jnp.mean(tr.critic.apply(
+            tr.state.critic_params, obs, tr.actor.apply(ap, obs)))
+
+    g = jax.grad(actor_loss)(tr.state.actor_params)
+    g_enc = jax.tree.leaves(g["params"][enc])
+    assert all(bool(jnp.all(x == 0)) for x in g_enc)
+    g_mlp = [x for k, v in g["params"].items() if k != enc
+             for x in jax.tree.leaves(v)]
+    assert any(bool(jnp.any(x != 0)) for x in g_mlp)
