@@ -45,6 +45,10 @@ from surreal_tpu.train import PPOTrainer
 
 EPISODES = 16
 STEPS = int(float(os.environ.get("DIAG_STEPS", "25_000_000".replace("_", ""))))
+# num_minibatches: PPOConfig default 4 = minibatch 4096 (the basin-breaker,
+# results/diag_spin_basin_r5.txt); DIAG_MB=8 reproduces the CLI default
+# that converges to the ~430 flick basin.
+MB = int(os.environ.get("DIAG_MB", "4"))
 
 
 def traced_eval(trainer, episodes=EPISODES, seed=123):
@@ -100,10 +104,10 @@ def episode_stats(vel, rew, touch):
 
 
 def main(seeds):
-    cfg = PPOConfig(entropy_coef=0.005, lr_max_scale=2.0)
+    cfg = PPOConfig(entropy_coef=0.005, lr_max_scale=2.0, num_minibatches=MB)
     for seed in seeds:
         print(f"===== finger-spin seed {seed}: train {STEPS:.0e} steps "
-              f"(h128 headline recipe) =====", flush=True)
+              f"(h128, mb{MB}) =====", flush=True)
         tr = PPOTrainer("finger-spin", cfg, num_envs=128, seed=seed)
         iters = max(1, STEPS // tr.steps_per_iteration)
         tr.run(iters, log_every=max(1, iters // 5))
