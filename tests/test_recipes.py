@@ -126,6 +126,9 @@ def test_recipe_matches_evidence(key):
         if flag in header and (algo == "ppo" or flag == "num-envs"):
             got = {"env": env, "learner": learner}[sec][k]
             assert float(got) == float(header[flag]), f"{flag}: {got} != {header[flag]}"
+    if "hidden" in header and algo == "ppo":
+        assert list(learner.hidden) == [
+            int(x) for x in header["hidden"].split(",")], "hidden"
     for k, v in sets.items():
         want = {"true": True, "false": False}.get(v.lower(), v)
         got = learner[k]
