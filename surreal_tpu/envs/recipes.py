@@ -97,8 +97,7 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
         "best known; r5 diagnosis pending (bimodal 0-or-1000)"),
     ("cartpole-balance", "ppo", False): Recipe(
         _ppo(4_000_000, 256, entropy=0.01),
-        "results/cartpole_balance_ppo_r5.txt", None,
-        "evidence run queued r5 (BASELINE row 1 solved on CPU backend)"),
+        "results/cartpole_balance_ppo_r5.txt", 970.6, "±0.6 — solved"),
     ("cartpole-balance_sparse", "ppo", False): Recipe(
         _ppo(8_000_000, 256, entropy=0.01),
         "results/cartpole_balance_sparse_ppo_r4.txt", 1000.0, "SOLVED"),
