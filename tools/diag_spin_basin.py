@@ -49,6 +49,11 @@ STEPS = int(float(os.environ.get("DIAG_STEPS", "25_000_000".replace("_", ""))))
 # results/diag_spin_basin_r5.txt); DIAG_MB=8 reproduces the CLI default
 # that converges to the ~430 flick basin.
 MB = int(os.environ.get("DIAG_MB", "4"))
+# Network width: the accidental control that cracked the basin — the r5
+# probes showed hidden (256,256) converges to ~430-630 on 2/3 seeds while
+# (64,64) solves every seed (926.4 mean). DIAG_HIDDEN=256 traces the
+# overparameterized net's strategy.
+HIDDEN = int(os.environ.get("DIAG_HIDDEN", "64"))
 
 
 def traced_eval(trainer, episodes=EPISODES, seed=123):
@@ -107,8 +112,9 @@ def main(seeds):
     cfg = PPOConfig(entropy_coef=0.005, lr_max_scale=2.0, num_minibatches=MB)
     for seed in seeds:
         print(f"===== finger-spin seed {seed}: train {STEPS:.0e} steps "
-              f"(h128, mb{MB}) =====", flush=True)
-        tr = PPOTrainer("finger-spin", cfg, num_envs=128, seed=seed)
+              f"(h128, mb{MB}, hidden {HIDDEN}) =====", flush=True)
+        tr = PPOTrainer("finger-spin", cfg, num_envs=128, seed=seed,
+                        hidden=(HIDDEN, HIDDEN))
         iters = max(1, STEPS // tr.steps_per_iteration)
         tr.run(iters, log_every=max(1, iters // 5))
         ev = tr.evaluate(episodes=EPISODES, seed=123)
