@@ -70,6 +70,12 @@ class DDPGConfig:
     # r4 pixel gap (PPO 911 vs DDPG 31 on ball_in_cup with the same
     # rasterizer) isolated the failure to critic-driven encoder learning.
     shared_encoder: bool = False
+    # DrQ-style random-shift image augmentation (Kostrikov et al. 2020) on
+    # the UPDATE path only (rollout/eval see clean frames): each sampled
+    # obs/next_obs is padded by `aug_shift` edge-replicated pixels and
+    # re-cropped at a per-sample uniform offset. The single known-decisive
+    # regularizer for pixel TD learning. 0 = off.
+    aug_shift: int = 0
     # Actor-side parameter staleness (the reference's pub-sub lag for DDPG
     # actors — same semantics as PPOConfig.publish_every): rollouts act on a
     # snapshot refreshed every K learner updates. 1 = zero staleness.
@@ -144,6 +150,19 @@ def sync_encoder(actor_params, critic_params):
     inner[_ENCODER_KEY] = critic_params["params"][_ENCODER_KEY]
     ap["params"] = inner
     return ap
+
+
+def random_shift(key, obs, pad: int):
+    """DrQ aug: (B, H, W, C) images, edge-pad by `pad`, crop at a random
+    per-sample offset in [0, 2*pad]. uint8-safe (pad/slice only)."""
+    B, H, W, C = obs.shape
+    padded = jnp.pad(obs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    off = jax.random.randint(key, (B, 2), 0, 2 * pad + 1)
+
+    def crop(img, o):
+        return jax.lax.dynamic_slice(img, (o[0], o[1], 0), (H, W, C))
+
+    return jax.vmap(crop)(padded, off)
 
 
 def acting_params(cfg: DDPGConfig, state: DDPGTrainState):
@@ -269,11 +288,14 @@ def update(
 
     def one_update(carry, key_u):
         state = carry
-        k_sample, k_tnoise = jax.random.split(key_u)
+        k_sample, k_tnoise, k_aug, k_aug2 = jax.random.split(key_u, 4)
         w = replay_sample_nstep(replay, k_sample, cfg.batch_size, cfg.n_step)
         obs = norm(w["obs"][0])
         action = w["action"][0]
         next_obs = norm(w["obs"][-1])
+        if cfg.aug_shift > 0:  # DrQ random shift (update path only)
+            obs = random_shift(k_aug, obs, cfg.aug_shift)
+            next_obs = random_shift(k_aug2, next_obs, cfg.aug_shift)
         G, cont = nstep_returns(w["reward"][:-1], w["done"][:-1], cfg.gamma)
 
         next_a = actor_apply(state.target_actor_params, next_obs)

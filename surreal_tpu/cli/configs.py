@@ -94,6 +94,7 @@ DDPG_BASE_LEARNER_CONFIG = Config(
     target_noise_clip=0.5,
     actor_delay=1,  # TD3 delayed actor/target updates (1 = plain DDPG)
     shared_encoder=False,  # pixel mode: one conv stem, critic-trained (SAC-AE)
+    aug_shift=0,  # pixel mode: DrQ random-shift augmentation radius (px)
     use_zfilter=False,
     noise_type="ou",
     sigma_min=0.05,
@@ -162,7 +163,7 @@ def to_algo_config(learner: Config):
             "rollout_steps", "updates_per_iteration", "batch_size",
             "replay_capacity", "min_replay", "gamma", "n_step", "actor_lr",
             "critic_lr", "tau", "hard_sync_every", "target_noise",
-            "target_noise_clip", "actor_delay", "shared_encoder",
+            "target_noise_clip", "actor_delay", "shared_encoder", "aug_shift",
             "use_zfilter", "noise_type",
             "sigma_min", "sigma_max", "publish_every", "zero_optimizer",
         ]

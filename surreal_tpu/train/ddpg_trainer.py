@@ -64,6 +64,8 @@ class DDPGTrainer:
             obs_zeros = jnp.zeros((1, obs_dim))
         if cfg.shared_encoder and not pixel_obs:
             raise ValueError("shared_encoder is a pixel-mode knob (conv stem)")
+        if cfg.aug_shift > 0 and not pixel_obs:
+            raise ValueError("aug_shift is a pixel-mode knob (image shift)")
         self.cfg = cfg
         act_dim = self.env.action_dim
         self.actor = DDPGActor(act_dim, tuple(actor_hidden),
