@@ -48,6 +48,14 @@ class PPOConfig:
     num_minibatches: int = 4
     lr: float = 3e-4
     entropy_coef: float = 0.0
+    # Linear entropy-coefficient anneal: coef moves entropy_coef →
+    # entropy_final over the first entropy_anneal_iters UPDATE iterations
+    # (None / 0 = constant coef). Basin-breaker knob: a high early coef
+    # prevents premature collapse into a low-reward attractor (hopper-stand
+    # seed lottery, finger-spin slow-spin basin), while the late anneal
+    # recovers the exploitation ceiling that a constant-high coef costs.
+    entropy_final: float | None = None
+    entropy_anneal_iters: int = 0
     value_coef: float = 0.5
     max_grad_norm: float = 0.5
     normalize_adv: bool = True
@@ -255,12 +263,25 @@ def rollout(
 # ---------------------------------------------------------------------------
 
 
-def _loss_fn(cfg: PPOConfig, apply_fn, params, batch, kl_beta):
+def entropy_coef_at(cfg: PPOConfig, update_step) -> jax.Array:
+    """Traced entropy coefficient at `update_step` (linear anneal, or the
+    constant cfg.entropy_coef when annealing is off)."""
+    base = jnp.asarray(cfg.entropy_coef, jnp.float32)
+    if cfg.entropy_final is None or cfg.entropy_anneal_iters <= 0:
+        return base
+    frac = jnp.clip(
+        update_step.astype(jnp.float32) / cfg.entropy_anneal_iters, 0.0, 1.0
+    )
+    return base + (jnp.float32(cfg.entropy_final) - base) * frac
+
+
+def _loss_fn(cfg: PPOConfig, apply_fn, params, batch, kl_beta, ent_coef):
     obs, action, logp_old, mean_old, log_std_old, adv, vtarg, v_old = batch
     mean, log_std, value = apply_fn(params, obs)
     if (
         cfg.fused_loss
         and cfg.objective == "clip"
+        and cfg.entropy_final is None  # fused kernel takes a static coef
         and mean.shape[0] % 256 == 0
     ):
         from surreal_tpu.ops.pallas_ppo_loss import fused_clip_loss
@@ -291,7 +312,7 @@ def _loss_fn(cfg: PPOConfig, apply_fn, params, batch, kl_beta):
         jnp.maximum((value - vtarg) ** 2, (v_clipped - vtarg) ** 2)
     )
     entropy = jnp.mean(DiagGauss.entropy(mean, log_std))
-    loss = policy_loss + cfg.value_coef * value_loss - cfg.entropy_coef * entropy
+    loss = policy_loss + cfg.value_coef * value_loss - ent_coef * entropy
     clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32))
     return loss, {
         "policy_loss": policy_loss,
@@ -357,12 +378,14 @@ def update(
         traj.value.reshape(N),
     )
     mb_size = N // cfg.num_minibatches
+    ent_coef = entropy_coef_at(cfg, state.update_step)
 
     def minibatch_step(carry, idx):
         params, opt_state = carry
         mb = tuple(jnp.take(x, idx, axis=0) for x in flat)
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: _loss_fn(cfg, apply_fn, p, mb, state.kl_beta), has_aux=True
+            lambda p: _loss_fn(cfg, apply_fn, p, mb, state.kl_beta, ent_coef),
+            has_aux=True,
         )(params)
         grads = pmean(grads)
         guards.assert_finite(optax.global_norm(grads), "ppo.update.grad_norm")

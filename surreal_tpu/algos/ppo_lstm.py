@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from surreal_tpu.algos.ppo import PPOConfig, PPOTrainState, acting_params, make_optimizer
+from surreal_tpu.algos.ppo import (
+    PPOConfig,
+    PPOTrainState,
+    acting_params,
+    entropy_coef_at,
+    make_optimizer,
+)
 from surreal_tpu.models.distributions import DiagGauss
 from surreal_tpu.models.z_filter import zfilter_normalize, zfilter_update
 from surreal_tpu.ops.returns import gae
@@ -145,6 +151,7 @@ def update(cfg, apply_fn, state, traj: LSTMTrajectory, key, axis_name=None):
         adv = (adv - a_mean) * jax.lax.rsqrt(a_var + 1e-8)
 
     mb_envs = B // cfg.num_minibatches
+    ent_coef = entropy_coef_at(cfg, state.update_step)
 
     def loss_fn(params, idx):
         o = obs[:, idx]
@@ -170,7 +177,7 @@ def update(cfg, apply_fn, state, traj: LSTMTrajectory, key, axis_name=None):
         v_clipped = v_old + jnp.clip(value - v_old, -cfg.clip_eps, cfg.clip_eps)
         value_loss = 0.5 * jnp.mean(jnp.maximum((value - vt) ** 2, (v_clipped - vt) ** 2))
         entropy = jnp.mean(DiagGauss.entropy(mean, log_std))
-        loss = policy_loss + cfg.value_coef * value_loss - cfg.entropy_coef * entropy
+        loss = policy_loss + cfg.value_coef * value_loss - ent_coef * entropy
         clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32))
         return loss, {
             "policy_loss": policy_loss, "value_loss": value_loss,

@@ -35,7 +35,8 @@ def _paths(cfg, b, interpret=True):
 
     def ref(m, ls, v):
         return ppo._loss_fn(
-            cfg, lambda p, o: (m, ls, v), None, loss_batch, jnp.float32(1.0)
+            cfg, lambda p, o: (m, ls, v), None, loss_batch, jnp.float32(1.0),
+            jnp.float32(cfg.entropy_coef),
         )
 
     def fused(m, ls, v):
@@ -95,6 +96,7 @@ def test_config_flag_dispatches_fused(batch, monkeypatch):
         b["adv"], b["vtarg"], b["v_old"],
     )
     apply_fn = lambda p, o: (o, b["log_std"], b["value"])
-    loss, metrics = ppo._loss_fn(cfg, apply_fn, None, loss_batch, 1.0)
+    loss, metrics = ppo._loss_fn(cfg, apply_fn, None, loss_batch, 1.0,
+                                 cfg.entropy_coef)
     assert called.get("yes"), "fused kernel was not dispatched"
     assert np.isfinite(float(loss))

@@ -26,6 +26,28 @@ def test_objective_variants():
         assert np.isfinite(logs[-1]["policy_loss"])
 
 
+def test_entropy_anneal_schedule():
+    # Constant when off; linear interp then clamp when on.
+    cfg = ppo.PPOConfig(entropy_coef=0.01)
+    assert float(ppo.entropy_coef_at(cfg, jnp.asarray(7))) == pytest.approx(0.01)
+    cfg = ppo.PPOConfig(
+        entropy_coef=0.01, entropy_final=0.002, entropy_anneal_iters=100
+    )
+    assert float(ppo.entropy_coef_at(cfg, jnp.asarray(0))) == pytest.approx(0.01)
+    assert float(ppo.entropy_coef_at(cfg, jnp.asarray(50))) == pytest.approx(0.006)
+    assert float(ppo.entropy_coef_at(cfg, jnp.asarray(400))) == pytest.approx(0.002)
+
+
+def test_entropy_anneal_train_step_runs():
+    cfg = ppo.PPOConfig(
+        horizon=8, epochs=1, num_minibatches=1,
+        entropy_coef=0.01, entropy_final=0.0, entropy_anneal_iters=2,
+    )
+    tr = PPOTrainer("cartpole-balance", cfg, num_envs=4, seed=0)
+    logs = tr.run(3, log_every=1)
+    assert all(np.isfinite(m["policy_loss"]) for m in logs)
+
+
 def test_lr_adapts_down_on_kl_overshoot():
     cfg = ppo.PPOConfig(horizon=8, epochs=8, num_minibatches=1, lr=1.0, kl_target=1e-4)
     tr = PPOTrainer("cartpole-balance", cfg, num_envs=4, seed=0)

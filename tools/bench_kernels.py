@@ -85,7 +85,8 @@ def bench_fused_loss(report):
         @jax.jit
         def step(params, batch):
             (_, m), g = jax.value_and_grad(
-                lambda p: _loss_fn(cfg, net.apply, p, batch, jnp.asarray(1.0)),
+                lambda p: _loss_fn(cfg, net.apply, p, batch, jnp.asarray(1.0),
+                                   jnp.asarray(cfg.entropy_coef)),
                 has_aux=True,
             )(params)
             return m["kl"], jax.tree.leaves(g)[0]
