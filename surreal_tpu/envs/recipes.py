@@ -75,9 +75,13 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
         _ppo(40_000_000, 128, horizon=256, minibatches=16, entropy=0.005),
         "results/walker_run_ppo_r4.txt", 502.1),
     ("hopper-stand", "ppo", False): Recipe(
-        _ppo(30_000_000, 128),
-        "results/hopper_stand_s1_ppo_r4.txt", 901.4,
-        "seed-dependent basin (seed 0 plateaus); r5 probes pending"),
+        _ppo(50_000_000, 128, entropy=0.01),
+        "results/hopper_stand_ent01_50m_s0_r5.txt", 753.1,
+        "entropy 0.01 kills the seed lottery (defaults: 5.9-901 across "
+        "seeds): 753.1/926.6/770.4 on seeds 0/1/2, mean 816.7, no "
+        "collapses. Probed and rejected: h256 (351 bimodal), mb4 (503), "
+        "h64 (collapses, 4.3), entropy anneal 0.01->0.002 (498 bimodal "
+        "on seed 0 - the late low-entropy phase re-opens the collapse)"),
     ("finger-spin", "ppo", False): Recipe(
         _ppo(100_000_000, 128, minibatches=4, entropy=0.005,
              sets=[("lr_max_scale", 2.0), ("hidden", [64, 64])]),
