@@ -86,10 +86,14 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
         _ppo(100_000_000, 128, minibatches=4, entropy=0.005,
              sets=[("lr_max_scale", 2.0), ("hidden", [64, 64])]),
         "results/finger_spin_h64_s0_r5.txt", 932.7,
-        "SEED-ROBUST: 932.7/922.3/924.3 on seeds 0/1/2 (mean 926.4). The "
-        "(256,256) net converges to a ~430-630 slow-spin attractor on 2/3 "
-        "seeds under every recipe probed (results/diag_spin_basin_r5.txt); "
-        "hidden 64,64 + minibatch 4096 solves all seeds"),
+        "933/922/924/875/393 across seeds 0-4 (mean 809, median 922, 4/5 "
+        ">= 875). The slow-spin ~400 attractor (threshold-riding at "
+        "~-14.5 rad/s, results/diag_spin_basin_r5.txt) is a ~1-in-5 seed "
+        "event under this recipe; the (256,256) net lands in it on 2/3 "
+        "seeds. Entropy does NOT remove it, it re-deals the lottery: at "
+        "ent 0.01 seeds 0-3 ALL land ~400 while seed 4 gets 965 "
+        "(results/finger_spin_h64_ent01_s{0..4}_r5.txt) - ent 0.005 has "
+        "the best hit rate of everything probed (mb2/mb8/anneal recorded)"),
     ("finger-turn_hard", "ppo", False): Recipe(
         _ppo(100_000_000, 128, horizon=256, minibatches=16, entropy=0.005,
              sets=[("lr_max_scale", 2.0)]),
