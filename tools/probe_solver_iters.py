@@ -75,18 +75,13 @@ def main():
 
     log("# solver sweep-count probe r5 (current engine, f32 assembly)")
     log(f"{'env':>14} {'sweeps':>6} {'sps':>9} {'max_train_ret':>13} {'eval':>7}")
-    for n in (20, 14, 10, 6):
+    for n in (20, 12, 8):
         sps, _, _ = measure("cheetah-run", n, 256)
         log(f"{'cheetah-256':>14} {n:>6} {sps:>9.0f} {'':>13} {'':>7}")
-    for n in (20, 14, 10, 6):
-        sps, _, _ = measure("hopper-stand", n, 128)
-        log(f"{'hopper-128':>14} {n:>6} {sps:>9.0f} {'':>13} {'':>7}")
     # learning checks at the aggressive end vs baseline
     for env, envs, steps, n in (
         ("cheetah-run", 256, 15_000_000, 10),
         ("cheetah-run", 256, 15_000_000, 20),
-        ("hopper-stand", 128, 10_000_000, 10),
-        ("hopper-stand", 128, 10_000_000, 20),
     ):
         sps, ret, ev = measure(env, n, envs, train_steps=steps,
                                eval_after=(env == "cheetah-run"))
