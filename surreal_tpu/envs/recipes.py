@@ -70,7 +70,10 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
     ("walker-walk", "ppo", False): Recipe(
         _ppo(80_000_000, 128, horizon=256, minibatches=16, entropy=0.005),
         "results/walker_walk_long_ppo_r4.txt", 824.2,
-        "h256; bimodal across episodes — r5 160M run pending"),
+        "3 seeds: det 824/733/928 (stoch 844/799/957 - seed 2 solves "
+        "outright). Walk-or-fall episode bimodality on 2/3 seeds survives "
+        "mb8 (681), entropy-anneal (676) and LSTM (738) probes; DDPG is "
+        "the robustly-solved path (934.5 +- 15 @ 6M)"),
     ("walker-run", "ppo", False): Recipe(
         _ppo(40_000_000, 128, horizon=256, minibatches=16, entropy=0.005),
         "results/walker_run_ppo_r4.txt", 502.1),
