@@ -89,19 +89,23 @@ RECIPES: dict[tuple[str, str, bool], Recipe] = {
         _ppo(100_000_000, 128, minibatches=4, entropy=0.005,
              sets=[("lr_max_scale", 2.0), ("hidden", [64, 64])]),
         "results/finger_spin_h64_s0_r5.txt", 932.7,
-        "933/922/924/875/393 across seeds 0-4 (mean 809, median 922, 4/5 "
-        ">= 875). The slow-spin ~400 attractor (threshold-riding at "
-        "~-14.5 rad/s, results/diag_spin_basin_r5.txt) is a ~1-in-5 seed "
-        "event under this recipe; the (256,256) net lands in it on 2/3 "
-        "seeds. Entropy does NOT remove it, it re-deals the lottery: at "
-        "ent 0.01 seeds 0-3 ALL land ~400 while seed 4 gets 965 "
-        "(results/finger_spin_h64_ent01_s{0..4}_r5.txt) - ent 0.005 has "
-        "the best hit rate of everything probed (mb2/mb8/anneal recorded)"),
+        "8 seeds: 933/922/924/875/393/406/864/325 (median 870, 5/8 >= "
+        "864). The slow-spin attractor family (~325-406 threshold-riding "
+        "plateaus, each converged with sigma <= 11; results/"
+        "diag_spin_basin_r5.txt) claims ~3-in-8 seeds; the (256,256) net "
+        "lands in it on 2/3 seeds. Entropy does NOT remove it, it "
+        "re-deals the lottery: at ent 0.01 seeds 0-3 ALL land ~400 while "
+        "seed 4 gets 965 (results/finger_spin_h64_ent01_s{0..4}_r5.txt) "
+        "- ent 0.005 has the best hit rate of everything probed "
+        "(mb2/mb8/anneal recorded)"),
     ("finger-turn_hard", "ppo", False): Recipe(
         _ppo(100_000_000, 128, horizon=256, minibatches=16, entropy=0.005,
              sets=[("lr_max_scale", 2.0)]),
         "results/finger_turn_hard_h256_r4.txt", 862.8,
-        "h256 breaks the r3 ~560 plateau; stoch eval 921.9"),
+        "h256 breaks the r3 ~560 plateau; stoch eval 921.9. r5 extra "
+        "seeds: 774.7 (stoch 876.9) / 512.9 - the turn-family "
+        "commit-or-hold episode lottery (see finger-turn_easy) applies "
+        "here too on 2/3 seeds"),
     ("finger-turn_easy", "ppo", False): Recipe(
         _ppo(100_000_000, 128, minibatches=4, entropy=0.005,
              sets=[("lr_max_scale", 2.0), ("hidden", [64, 64])]),
